@@ -1,0 +1,228 @@
+"""Host->device input pipeline: dense index batches over pretransformed
+behaviors.
+
+TPU-native counterpart of the reference Keras-Sequence dataloaders
+(reference: src/ebrec/models/newsrec/dataloader.py:19-419). Key design
+changes (same semantics, different architecture):
+
+- The id -> row-index mapping runs ONCE over the whole split
+  (``Lookup.map_ragged``), like the reference's Pretransform loader
+  (dataloader.py:122-180), not per batch.
+- Batches carry int32 *row indices* ([B, H] and [B, K]) instead of token
+  matrices; the value-table gather ``table[idx]`` happens on device inside
+  the jitted step. This shrinks host->device traffic by the title width
+  (30x for NRMS) and keeps the MXU fed from HBM.
+- Eval mode keeps ragged impressions **bucketed and padded with a
+  candidate mask** instead of exploding one row per candidate
+  (dataloader.py:94-107): the same math, but batched scoring. The
+  invariant ``sum(cand_mask) == sum(inview lengths)`` replaces the
+  reference's eval-unfold invariant.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterator, Optional
+
+import numpy as np
+
+from ..constants import (
+    DEFAULT_HISTORY_ARTICLE_ID_COL,
+    DEFAULT_INVIEW_ARTICLES_COL,
+    DEFAULT_LABELS_COL,
+    DEFAULT_USER_COL,
+)
+from .lookup import Lookup
+from .ragged import Ragged
+from .table import Table
+
+__all__ = ["NewsrecFeed", "EvalFeed", "pad_to_multiple"]
+
+
+def pad_to_multiple(n: int, multiple: int) -> int:
+    return ((n + multiple - 1) // multiple) * multiple
+
+
+def _dense_indices(
+    col: Ragged, lookup: Lookup, width: int, align: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """Ragged id column -> ([N, width] int32 row indices, bool mask)."""
+    mapped = lookup.map_ragged(col)
+    dense, mask = mapped.to_padded(width, pad_value=0, align=align)
+    return dense.astype(np.int32), mask
+
+
+@dataclass
+class NewsrecFeed:
+    """Training feed: fixed-shape batches of row indices + labels.
+
+    Expects a behaviors table that already went through the wu2019
+    negative sampler + ``create_binary_labels_column`` so every row has
+    exactly ``npratio + 1`` candidates. Produces per-batch dicts of numpy
+    arrays; shipping to device (and the token gather) is the training
+    step's job.
+
+    Output batch:
+      hist_idx  int32 [B, H]   rows into the article value table
+      cand_idx  int32 [B, K]
+      labels    float32 [B, K]
+      user_idx  int32 [B]      (when ``user_mapping`` given — LSTUR/NPA)
+    """
+
+    behaviors: Table
+    lookup: Lookup
+    history_size: int
+    batch_size: int
+    user_mapping: Optional[dict[int, int]] = None
+    history_col: str = DEFAULT_HISTORY_ARTICLE_ID_COL
+    inview_col: str = DEFAULT_INVIEW_ARTICLES_COL
+    label_col: str = DEFAULT_LABELS_COL
+    user_col: str = DEFAULT_USER_COL
+    seed: int = 0
+    drop_remainder: bool = True
+
+    def __post_init__(self):
+        df = self.behaviors
+        inview: Ragged = df[self.inview_col]
+        k = np.unique(inview.lengths)
+        if len(k) != 1:
+            raise ValueError(
+                f"training feed needs a fixed candidate count; got lengths {k}. "
+                "Run sampling_strategy_wu2019 first."
+            )
+        self.n_candidates = int(k[0])
+        self.hist_idx, self.hist_mask = _dense_indices(
+            df[self.history_col], self.lookup, self.history_size, align="right"
+        )
+        self.cand_idx, _ = _dense_indices(
+            inview, self.lookup, self.n_candidates, align="left"
+        )
+        labels: Ragged = df[self.label_col]
+        self.labels = labels.values.reshape(len(df), self.n_candidates).astype(np.float32)
+        if self.user_mapping is not None:
+            users = np.asarray(df[self.user_col])
+            n = len(self.user_mapping)
+            self.user_idx = np.asarray(
+                [self.user_mapping.get(int(u), n) for u in users], dtype=np.int32
+            )
+        else:
+            self.user_idx = None
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = self.hist_idx.shape[0]
+        return n // self.batch_size if self.drop_remainder else -(-n // self.batch_size)
+
+    @property
+    def n_rows(self) -> int:
+        return self.hist_idx.shape[0]
+
+    def epoch(self, shuffle: bool = True) -> Iterator[dict[str, np.ndarray]]:
+        """Yield one epoch of batches; each call reshuffles deterministically."""
+        n = self.n_rows
+        order = np.arange(n)
+        if shuffle:
+            order = np.random.default_rng(self.seed + self._epoch).permutation(n)
+        self._epoch += 1
+        bs = self.batch_size
+        stop = (n // bs) * bs if self.drop_remainder else n
+        for start in range(0, stop, bs):
+            idx = order[start : start + bs]
+            batch = {
+                "hist_idx": self.hist_idx[idx],
+                "cand_idx": self.cand_idx[idx],
+                "labels": self.labels[idx],
+            }
+            if self.user_idx is not None:
+                batch["user_idx"] = self.user_idx[idx]
+            yield batch
+
+
+@dataclass
+class EvalFeed:
+    """Scoring feed over ragged impressions: pad-to-bucket + candidate mask.
+
+    Replaces the reference's eval-mode explode (one scorer call per
+    candidate, dataloader.py:94-107) with batched masked scoring: each
+    impression keeps all its candidates in one row, padded to the bucket
+    width. ``unpad(scores)`` hands back one flat float32 stream aligned
+    with ``Ragged.values`` of the inview column — exactly what
+    ``add_prediction_scores`` expects.
+
+    Output batch:
+      hist_idx  int32 [B, H]
+      cand_idx  int32 [B, Kmax]
+      cand_mask bool  [B, Kmax]
+      user_idx  int32 [B]  (optional)
+    """
+
+    behaviors: Table
+    lookup: Lookup
+    history_size: int
+    batch_size: int
+    user_mapping: Optional[dict[int, int]] = None
+    max_candidates: Optional[int] = None
+    history_col: str = DEFAULT_HISTORY_ARTICLE_ID_COL
+    inview_col: str = DEFAULT_INVIEW_ARTICLES_COL
+    user_col: str = DEFAULT_USER_COL
+
+    def __post_init__(self):
+        df = self.behaviors
+        inview: Ragged = df[self.inview_col]
+        self.inview = inview
+        kmax = int(inview.lengths.max()) if len(inview) else 1
+        self.width = self.max_candidates or pad_to_multiple(max(kmax, 1), 8)
+        if kmax > self.width:
+            raise ValueError(f"impression with {kmax} candidates exceeds bucket {self.width}")
+        self.hist_idx, _ = _dense_indices(
+            df[self.history_col], self.lookup, self.history_size, align="right"
+        )
+        self.cand_idx, self.cand_mask = _dense_indices(
+            inview, self.lookup, self.width, align="left"
+        )
+        if self.user_mapping is not None:
+            users = np.asarray(df[self.user_col])
+            n = len(self.user_mapping)
+            self.user_idx = np.asarray(
+                [self.user_mapping.get(int(u), n) for u in users], dtype=np.int32
+            )
+        else:
+            self.user_idx = None
+
+    @property
+    def n_rows(self) -> int:
+        return self.hist_idx.shape[0]
+
+    def __len__(self) -> int:
+        return -(-self.n_rows // self.batch_size)
+
+    def batches(self) -> Iterator[dict[str, np.ndarray]]:
+        """In-order batches; the last batch is zero-padded to full size so
+        every step reuses one compiled program (static shapes)."""
+        n, bs = self.n_rows, self.batch_size
+        for start in range(0, n, bs):
+            sl = slice(start, min(start + bs, n))
+            m = sl.stop - sl.start
+            batch = {
+                "hist_idx": _pad_rows(self.hist_idx[sl], bs),
+                "cand_idx": _pad_rows(self.cand_idx[sl], bs),
+                "cand_mask": _pad_rows(self.cand_mask[sl], bs),
+                "n_valid": m,
+            }
+            if self.user_idx is not None:
+                batch["user_idx"] = _pad_rows(self.user_idx[sl], bs)
+            yield batch
+
+    def unpad(self, scores: np.ndarray) -> Ragged:
+        """[N, width] padded score matrix -> ragged scores aligned with the
+        inview column (drop padded candidates)."""
+        if scores.shape != (self.n_rows, self.width):
+            raise ValueError(f"expected scores {(self.n_rows, self.width)}, got {scores.shape}")
+        flat = scores[self.cand_mask].astype(np.float32)
+        return Ragged(flat, self.inview.offsets.copy())
+
+
+def _pad_rows(x: np.ndarray, n: int) -> np.ndarray:
+    if x.shape[0] == n:
+        return x
+    pad = np.zeros((n - x.shape[0],) + x.shape[1:], dtype=x.dtype)
+    return np.concatenate([x, pad], axis=0)

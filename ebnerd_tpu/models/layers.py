@@ -1,0 +1,192 @@
+"""Shared model layers (flax.linen), semantic counterparts of the reference
+Keras layers (reference: src/ebrec/models/newsrec/layers.py).
+
+All layers are written batched-and-fused: instead of the reference's
+``TimeDistributed`` wrappers, callers flatten (batch, articles) into one
+leading axis so the MXU sees one large matmul per projection.
+
+Parity notes (math, not packing):
+- ``AdditiveAttention`` = AttLayer2 (layers.py:7-104): att = q·tanh(Wx+b),
+  exp-normalized with optional multiplicative mask and an epsilon in the
+  denominator. We subtract the row max before exp (same weights, stable).
+- ``SelfAttention`` (layers.py:107-270): per-head QKV projections WITHOUT
+  biases and WITHOUT an output projection, scaled by 1/sqrt(head_dim).
+- ``PersonalizedAttentivePooling`` (layers.py:314-339): dropout on values,
+  tanh projection, dot with a query vector, softmax, weighted sum of the
+  dropped values.
+- ``MaskedGRU``: Keras ``Masking``+``GRU`` semantics (lstur.py:84-106) —
+  masked timesteps do not update the recurrent state. Cell math follows
+  flax's GRUCell (reset_after=False variant); parity with Keras is at the
+  semantics level, not bit level.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+glorot = nn.initializers.glorot_uniform
+zeros = nn.initializers.zeros
+
+__all__ = [
+    "AdditiveAttention",
+    "SelfAttention",
+    "PersonalizedAttentivePooling",
+    "ConvEncoder",
+    "MaskedGRU",
+    "compute_token_mask",
+]
+
+
+def compute_token_mask(tokens: jnp.ndarray) -> jnp.ndarray:
+    """float mask: 1.0 where token != 0 (reference: ComputeMasking,
+    layers.py:273-288)."""
+    return (tokens != 0).astype(jnp.float32)
+
+
+class AdditiveAttention(nn.Module):
+    """Additive (soft-alignment) attention pooling over the second-to-last
+    axis. Input [..., L, D] -> output [..., D]."""
+
+    dim: int = 200
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        w = self.param("W", glorot(), (x.shape[-1], self.dim), jnp.float32)
+        b = self.param("b", zeros, (self.dim,), jnp.float32)
+        q = self.param("q", glorot(), (self.dim, 1), jnp.float32)
+        att = jnp.tanh(x.astype(self.dtype) @ w.astype(self.dtype) + b.astype(self.dtype))
+        att = (att @ q.astype(self.dtype))[..., 0]  # [..., L]
+        att = att - jax.lax.stop_gradient(jnp.max(att, axis=-1, keepdims=True))
+        expo = jnp.exp(att)
+        if mask is not None:
+            expo = expo * mask.astype(expo.dtype)
+        weight = expo / (jnp.sum(expo, axis=-1, keepdims=True) + 1e-8)
+        return jnp.sum(x * weight[..., None].astype(x.dtype), axis=-2)
+
+
+class SelfAttention(nn.Module):
+    """Multi-head attention with NRMS conventions: no projection biases, no
+    output projection. q/k/v: [..., L, D] -> [..., Lq, num_heads*head_dim]."""
+
+    num_heads: int
+    head_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        q: jnp.ndarray,
+        k: jnp.ndarray,
+        v: jnp.ndarray,
+        key_mask: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        out_dim = self.num_heads * self.head_dim
+
+        def proj(name, x):
+            wkernel = self.param(name, glorot(), (x.shape[-1], out_dim), jnp.float32)
+            y = x.astype(self.dtype) @ wkernel.astype(self.dtype)
+            return y.reshape(*y.shape[:-1], self.num_heads, self.head_dim)
+
+        qh = proj("WQ", q)  # [..., Lq, H, Dh]
+        kh = proj("WK", k)
+        vh = proj("WV", v)
+        scale = 1.0 / jnp.sqrt(jnp.asarray(self.head_dim, self.dtype))
+        logits = jnp.einsum("...qhd,...khd->...hqk", qh, kh) * scale
+        if key_mask is not None:
+            neg = jnp.asarray(-1e12, logits.dtype)
+            logits = jnp.where(key_mask[..., None, None, :].astype(bool), logits, neg)
+        weights = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("...hqk,...khd->...qhd", weights, vh)
+        return out.reshape(*out.shape[:-2], out_dim)
+
+
+class PersonalizedAttentivePooling(nn.Module):
+    """Query-conditioned attention pooling: values [..., L, D], query
+    [..., Q] -> [..., D]."""
+
+    attention_dim: int
+    dropout: float = 0.2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, values: jnp.ndarray, query: jnp.ndarray, train: bool = False
+    ) -> jnp.ndarray:
+        values = nn.Dropout(self.dropout, deterministic=not train)(values)
+        proj = nn.Dense(
+            self.attention_dim,
+            kernel_init=glorot(),
+            bias_init=zeros,
+            dtype=self.dtype,
+            name="att_proj",
+        )(values)
+        proj = jnp.tanh(proj)
+        att = jnp.einsum("...ld,...d->...l", proj, query.astype(proj.dtype))
+        weight = jax.nn.softmax(att, axis=-1)
+        return jnp.sum(values * weight[..., None].astype(values.dtype), axis=-2)
+
+
+class ConvEncoder(nn.Module):
+    """1-D convolution over tokens with SAME padding + activation
+    (reference: Conv1D blocks in lstur.py:129-136 / npa.py / naml.py)."""
+
+    filters: int
+    window: int = 3
+    activation: Callable = nn.relu
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        y = nn.Conv(
+            features=self.filters,
+            kernel_size=(self.window,),
+            padding="SAME",
+            kernel_init=glorot(),
+            bias_init=zeros,
+            dtype=self.dtype,
+        )(x)
+        return self.activation(y)
+
+
+class MaskedGRU(nn.Module):
+    """GRU over [B, L, D] with per-step masking: steps where mask==0 leave
+    the state unchanged (Keras Masking semantics). Returns the final state."""
+
+    units: int
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        mask: jnp.ndarray,
+        initial_state: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        batch = x.shape[0]
+        if initial_state is None:
+            initial_state = jnp.zeros((batch, self.units), x.dtype)
+        cell = nn.GRUCell(
+            features=self.units,
+            kernel_init=glorot(),
+            recurrent_kernel_init=glorot(),
+            bias_init=zeros,
+        )
+
+        def step(cell, carry, inp):
+            x_t, m_t = inp
+            new_carry, _ = cell(carry, x_t)
+            carry = jnp.where(m_t[:, None].astype(bool), new_carry, carry)
+            return carry, ()
+
+        scan = nn.scan(
+            step,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=1,
+            out_axes=1,
+        )
+        carry, _ = scan(cell, initial_state, (x, mask))
+        return carry

@@ -1,0 +1,388 @@
+"""The newsrec model family as flax modules: NRMS, NRMSDocVec, LSTUR, NPA,
+NAML (reference: src/ebrec/models/newsrec/{nrms,nrms_docvec,lstur,npa,naml}.py).
+
+Design differences from the reference (TPU-first, same math):
+
+- One module scores K candidates at once and returns raw logits [B, K].
+  The reference's twin Keras graphs — a softmax "model" over npratio+1
+  candidates and a sigmoid "scorer" over 1 candidate (nrms.py:161-210) —
+  collapse into this single jitted function: softmax-CE is applied by the
+  training loss, sigmoid by the eval path; both are monotone in the logit,
+  so rankings are identical.
+- The reference's ``TimeDistributed(news_encoder)`` becomes a reshape of
+  (batch, articles) into one leading axis, turning every projection into a
+  single large MXU matmul.
+- The reference's pack-and-slice input encodings (NPA appends the user id
+  to the token vector, npa.py:121-126; NAML packs title+body+cat+subcat
+  into one int vector, naml.py:101-126) are replaced by explicit batch
+  fields; the math is unchanged.
+
+Batch dict convention (device arrays):
+  hist_tokens  int32 [B, H, T]    (token models)
+  cand_tokens  int32 [B, K, T]
+  hist_vecs    float [B, H, Dv]   (docvec model)
+  cand_vecs    float [B, K, Dv]
+  user_id      int32 [B]          (LSTUR, NPA)
+  hist_body / cand_body      int32 [B, ., Tb]   (NAML)
+  hist_cat / cand_cat        int32 [B, .]       (NAML)
+  hist_subcat / cand_subcat  int32 [B, .]       (NAML)
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from .config import (
+    HParamsLSTUR,
+    HParamsNAML,
+    HParamsNPA,
+    HParamsNRMS,
+    HParamsNRMSDocVec,
+)
+from .layers import (
+    AdditiveAttention,
+    ConvEncoder,
+    MaskedGRU,
+    PersonalizedAttentivePooling,
+    SelfAttention,
+    glorot,
+    zeros,
+)
+
+__all__ = ["NRMS", "NRMSDocVec", "LSTUR", "NPA", "NAML", "embedding_initializer"]
+
+
+def embedding_initializer(matrix: np.ndarray) -> Callable:
+    """Initializer that loads a pretrained word-embedding matrix (the
+    reference initializes its Embedding from HF word embeddings,
+    nrms.py:40-47)."""
+    frozen = np.asarray(matrix, dtype=np.float32)
+
+    def init(key, shape, dtype=jnp.float32):
+        if tuple(shape) != frozen.shape:
+            raise ValueError(f"embedding shape {shape} != matrix {frozen.shape}")
+        return jnp.asarray(frozen, dtype)
+
+    return init
+
+
+def _flatten_articles(x: jnp.ndarray) -> tuple[jnp.ndarray, tuple]:
+    """[B, L, ...] -> [B*L, ...]; returns the (B, L) prefix for unflattening."""
+    prefix = x.shape[:2]
+    return x.reshape(prefix[0] * prefix[1], *x.shape[2:]), prefix
+
+
+def _dot_scores(news: jnp.ndarray, user: jnp.ndarray) -> jnp.ndarray:
+    """logits[b, k] = <news[b, k], user[b]> (reference: Dot(axes=-1))."""
+    return jnp.einsum("bkd,bd->bk", news, user)
+
+
+class _DenseStack(nn.Module):
+    """relu Dense -> BatchNorm -> Dropout blocks (the reference's optional
+    ``units_per_layer`` stack, nrms.py:141-155 / nrms_docvec.py:99-130).
+    Kernel names start with ``l2_dense`` so the training loss can apply the
+    reference's L2 kernel regularization selectively."""
+
+    units: tuple[int, ...]
+    dropout: float
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        for i, u in enumerate(self.units):
+            x = nn.Dense(u, kernel_init=glorot(), bias_init=zeros,
+                         dtype=self.dtype, name=f"l2_dense_{i}")(x)
+            x = nn.relu(x)
+            x = nn.BatchNorm(use_running_average=not train, name=f"bn_{i}")(x)
+            x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        return x
+
+
+class NRMS(nn.Module):
+    """Neural News Recommendation with Multi-Head Self-Attention (Wu et al.,
+    EMNLP 2019). Reference: nrms.py:12-210."""
+
+    hparams: HParamsNRMS
+    vocab_size: int = 32000
+    word_emb_dim: int = 300
+    word_emb_init: Optional[Callable] = None
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        hp = self.hparams
+        self.drop = nn.Dropout(hp.dropout)
+        self.embedding = nn.Embed(
+            self.vocab_size,
+            self.word_emb_dim,
+            embedding_init=self.word_emb_init or glorot(),
+            dtype=self.dtype,
+            name="word_embedding",
+        )
+        self.news_self_att = SelfAttention(hp.head_num, hp.head_dim, dtype=self.dtype)
+        self.news_pool = AdditiveAttention(hp.attention_hidden_dim, dtype=self.dtype)
+        if hp.newsencoder_units_per_layer:
+            self.news_dense = _DenseStack(
+                tuple(hp.newsencoder_units_per_layer), hp.dropout, dtype=self.dtype
+            )
+        self.user_self_att = SelfAttention(hp.head_num, hp.head_dim, dtype=self.dtype)
+        self.user_pool = AdditiveAttention(hp.attention_hidden_dim, dtype=self.dtype)
+
+    def encode_news(self, tokens: jnp.ndarray, train: bool) -> jnp.ndarray:
+        """tokens [N, T] -> news vectors [N, head_num*head_dim]
+        (reference news encoder, nrms.py:116-159)."""
+        hp = self.hparams
+        x = self.embedding(tokens)
+        x = self.drop(x, deterministic=not train)
+        x = self.news_self_att(x, x, x)
+        if hp.newsencoder_units_per_layer:
+            x = self.news_dense(x, train)
+        else:
+            x = self.drop(x, deterministic=not train)
+        return self.news_pool(x)
+
+    def encode_user(self, hist_vecs: jnp.ndarray, train: bool) -> jnp.ndarray:
+        """hist_vecs [B, H, D] -> user vector [B, D]
+        (reference user encoder, nrms.py:92-114)."""
+        y = self.user_self_att(hist_vecs, hist_vecs, hist_vecs)
+        return self.user_pool(y)
+
+    def __call__(self, batch: dict, train: bool = False) -> jnp.ndarray:
+        hist, (b, h) = _flatten_articles(batch["hist_tokens"])
+        cand, (_, k) = _flatten_articles(batch["cand_tokens"])
+        hist_vecs = self.encode_news(hist, train).reshape(b, h, -1)
+        cand_vecs = self.encode_news(cand, train).reshape(b, k, -1)
+        user = self.encode_user(hist_vecs, train)
+        return _dot_scores(cand_vecs, user)
+
+
+class NRMSDocVec(nn.Module):
+    """NRMS variant consuming frozen document-embedding vectors instead of
+    token ids. Reference: nrms_docvec.py:8-188."""
+
+    hparams: HParamsNRMSDocVec
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        hp = self.hparams
+        self.news_dense = _DenseStack(
+            tuple(hp.newsencoder_units_per_layer), hp.dropout, dtype=self.dtype
+        )
+        self.news_out = nn.Dense(
+            hp.head_num * hp.head_dim,
+            kernel_init=glorot(),
+            bias_init=zeros,
+            dtype=self.dtype,
+            name="news_out",
+        )
+        self.user_self_att = SelfAttention(hp.head_num, hp.head_dim, dtype=self.dtype)
+        self.user_pool = AdditiveAttention(hp.attention_hidden_dim, dtype=self.dtype)
+
+    def encode_news(self, vecs: jnp.ndarray, train: bool) -> jnp.ndarray:
+        x = self.news_dense(vecs, train)
+        return nn.relu(self.news_out(x))
+
+    def encode_user(self, hist_vecs: jnp.ndarray, train: bool) -> jnp.ndarray:
+        y = self.user_self_att(hist_vecs, hist_vecs, hist_vecs)
+        return self.user_pool(y)
+
+    def __call__(self, batch: dict, train: bool = False) -> jnp.ndarray:
+        hist, (b, h) = _flatten_articles(batch["hist_vecs"])
+        cand, (_, k) = _flatten_articles(batch["cand_vecs"])
+        hist_vecs = self.encode_news(hist, train).reshape(b, h, -1)
+        cand_vecs = self.encode_news(cand, train).reshape(b, k, -1)
+        user = self.encode_user(hist_vecs, train)
+        return _dot_scores(cand_vecs, user)
+
+
+class LSTUR(nn.Module):
+    """Long- and Short-term User Representations (An et al., ACL 2019).
+    Reference: lstur.py:12-201."""
+
+    hparams: HParamsLSTUR
+    vocab_size: int = 32000
+    word_emb_dim: int = 300
+    word_emb_init: Optional[Callable] = None
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        hp = self.hparams
+        self.drop = nn.Dropout(hp.dropout)
+        self.embedding = nn.Embed(
+            self.vocab_size, self.word_emb_dim,
+            embedding_init=self.word_emb_init or glorot(),
+            dtype=self.dtype, name="word_embedding",
+        )
+        # long-term user embedding, zero-initialized (lstur.py:71-77)
+        self.user_embedding = nn.Embed(
+            hp.n_users + 1, hp.gru_unit, embedding_init=zeros, name="user_embedding"
+        )
+        self.conv = ConvEncoder(hp.filter_num, hp.window_size, dtype=self.dtype)
+        self.news_pool = AdditiveAttention(hp.attention_hidden_dim, dtype=self.dtype)
+        self.gru = MaskedGRU(hp.gru_unit)
+        if hp.type == "con":
+            self.con_dense = nn.Dense(
+                hp.gru_unit, kernel_init=glorot(), bias_init=zeros, dtype=self.dtype
+            )
+
+    def encode_news(self, tokens: jnp.ndarray, train: bool) -> jnp.ndarray:
+        """Embedding -> Conv1D -> masked additive attention; articles whose
+        tokens are all padding encode to exactly zero (lstur.py:113-144 incl.
+        OverwriteMasking + masked AttLayer2)."""
+        hp = self.hparams
+        token_mask = (tokens != 0).astype(self.dtype)
+        x = self.embedding(tokens)
+        x = self.drop(x, deterministic=not train)
+        x = self.conv(x)
+        x = self.drop(x, deterministic=not train)
+        x = x * token_mask[..., None]
+        return self.news_pool(x, mask=token_mask)
+
+    def encode_user(
+        self, hist_vecs: jnp.ndarray, hist_mask: jnp.ndarray,
+        user_id: jnp.ndarray, train: bool,
+    ) -> jnp.ndarray:
+        """GRU over clicked-article vectors; ``type='ini'`` seeds the GRU
+        with the long-term embedding, ``type='con'`` concatenates it
+        (lstur.py:56-111). Zero (padded) articles are masked out."""
+        hp = self.hparams
+        long_u = self.user_embedding(user_id)
+        if hp.type == "ini":
+            return self.gru(hist_vecs, hist_mask, initial_state=long_u.astype(hist_vecs.dtype))
+        if hp.type == "con":
+            short_u = self.gru(hist_vecs, hist_mask)
+            return self.con_dense(jnp.concatenate([short_u, long_u.astype(short_u.dtype)], -1))
+        raise ValueError(f"unknown LSTUR type: {hp.type}")
+
+    def __call__(self, batch: dict, train: bool = False) -> jnp.ndarray:
+        hist, (b, h) = _flatten_articles(batch["hist_tokens"])
+        cand, (_, k) = _flatten_articles(batch["cand_tokens"])
+        hist_vecs = self.encode_news(hist, train).reshape(b, h, -1)
+        cand_vecs = self.encode_news(cand, train).reshape(b, k, -1)
+        hist_mask = (batch["hist_tokens"] != 0).any(-1).astype(self.dtype)
+        user = self.encode_user(hist_vecs, hist_mask, batch["user_id"], train)
+        return _dot_scores(cand_vecs, user)
+
+
+class NPA(nn.Module):
+    """Neural News Recommendation with Personalized Attention (Wu et al.,
+    KDD 2019). Reference: npa.py:14-233."""
+
+    hparams: HParamsNPA
+    vocab_size: int = 32000
+    word_emb_dim: int = 300
+    word_emb_init: Optional[Callable] = None
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        hp = self.hparams
+        self.drop = nn.Dropout(hp.dropout)
+        self.embedding = nn.Embed(
+            self.vocab_size, self.word_emb_dim,
+            embedding_init=self.word_emb_init or glorot(),
+            dtype=self.dtype, name="word_embedding",
+        )
+        self.user_embedding = nn.Embed(
+            hp.n_users + 1, hp.user_emb_dim, embedding_init=zeros, name="user_embedding"
+        )
+        self.conv = ConvEncoder(hp.filter_num, hp.window_size, dtype=self.dtype)
+        # separate query projections for word-level and news-level attention
+        # (npa.py:144-150 and npa.py:95-101 create two distinct Dense layers)
+        self.word_query = nn.Dense(hp.attention_hidden_dim, kernel_init=glorot(),
+                                   bias_init=zeros, dtype=self.dtype, name="word_query")
+        self.news_query = nn.Dense(hp.attention_hidden_dim, kernel_init=glorot(),
+                                   bias_init=zeros, dtype=self.dtype, name="news_query")
+        self.word_pool = PersonalizedAttentivePooling(
+            hp.attention_hidden_dim, hp.dropout, dtype=self.dtype
+        )
+        self.news_pool = PersonalizedAttentivePooling(
+            hp.attention_hidden_dim, hp.dropout, dtype=self.dtype
+        )
+
+    def encode_news(self, tokens: jnp.ndarray, user_emb: jnp.ndarray, train: bool) -> jnp.ndarray:
+        """tokens [N, T], user_emb [N, U] -> [N, filter_num]
+        (npa.py:107-153)."""
+        hp = self.hparams
+        x = self.embedding(tokens)
+        x = self.drop(x, deterministic=not train)
+        x = self.conv(x)
+        x = self.drop(x, deterministic=not train)
+        return self.word_pool(x, self.word_query(user_emb), train)
+
+    def __call__(self, batch: dict, train: bool = False) -> jnp.ndarray:
+        u_emb = self.user_embedding(batch["user_id"]).astype(self.dtype)  # [B, U]
+        hist, (b, h) = _flatten_articles(batch["hist_tokens"])
+        cand, (_, k) = _flatten_articles(batch["cand_tokens"])
+        hist_u = jnp.repeat(u_emb, h, axis=0)
+        cand_u = jnp.repeat(u_emb, k, axis=0)
+        hist_vecs = self.encode_news(hist, hist_u, train).reshape(b, h, -1)
+        cand_vecs = self.encode_news(cand, cand_u, train).reshape(b, k, -1)
+        user = self.news_pool(hist_vecs, self.news_query(u_emb), train)
+        return _dot_scores(cand_vecs, user)
+
+
+class NAML(nn.Module):
+    """Neural News Recommendation with Attentive Multi-View Learning
+    (Wu et al., IJCAI 2019). Reference: naml.py:13-374."""
+
+    hparams: HParamsNAML
+    vocab_size: int = 32000
+    word_emb_dim: int = 300
+    word_emb_init: Optional[Callable] = None
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        hp = self.hparams
+        self.drop = nn.Dropout(hp.dropout)
+        self.embedding = nn.Embed(
+            self.vocab_size, self.word_emb_dim,
+            embedding_init=self.word_emb_init or glorot(),
+            dtype=self.dtype, name="word_embedding",
+        )
+        self.title_conv = ConvEncoder(hp.filter_num, hp.window_size, dtype=self.dtype)
+        self.title_pool = AdditiveAttention(hp.attention_hidden_dim, dtype=self.dtype)
+        self.body_conv = ConvEncoder(hp.filter_num, hp.window_size, dtype=self.dtype)
+        self.body_pool = AdditiveAttention(hp.attention_hidden_dim, dtype=self.dtype)
+        self.vert_embedding = nn.Embed(hp.vert_num, hp.vert_emb_dim, name="vert_embedding")
+        self.vert_dense = nn.Dense(hp.filter_num, kernel_init=glorot(),
+                                   bias_init=zeros, dtype=self.dtype)
+        self.subvert_embedding = nn.Embed(hp.subvert_num, hp.subvert_emb_dim,
+                                          name="subvert_embedding")
+        self.subvert_dense = nn.Dense(hp.filter_num, kernel_init=glorot(),
+                                      bias_init=zeros, dtype=self.dtype)
+        self.view_pool = AdditiveAttention(hp.attention_hidden_dim, dtype=self.dtype)
+        self.user_pool = AdditiveAttention(hp.attention_hidden_dim, dtype=self.dtype)
+
+    def _text_view(self, tokens, conv, pool, train):
+        hp = self.hparams
+        x = self.embedding(tokens)
+        x = self.drop(x, deterministic=not train)
+        x = conv(x)
+        x = self.drop(x, deterministic=not train)
+        return pool(x)
+
+    def encode_news(self, title, body, vert, subvert, train) -> jnp.ndarray:
+        """Four views -> additive-attention fusion -> [N, filter_num]
+        (naml.py:92-141)."""
+        title_r = self._text_view(title, self.title_conv, self.title_pool, train)
+        body_r = self._text_view(body, self.body_conv, self.body_pool, train)
+        vert_r = nn.relu(self.vert_dense(self.vert_embedding(vert).astype(self.dtype)))
+        subvert_r = nn.relu(self.subvert_dense(self.subvert_embedding(subvert).astype(self.dtype)))
+        views = jnp.stack([title_r, body_r, vert_r, subvert_r], axis=-2)  # [N, 4, F]
+        return self.view_pool(views)
+
+    def _encode_side(self, batch, side, train):
+        title, (b, l) = _flatten_articles(batch[f"{side}_tokens"])
+        body, _ = _flatten_articles(batch[f"{side}_body"])
+        vert = batch[f"{side}_cat"].reshape(-1)
+        subvert = batch[f"{side}_subcat"].reshape(-1)
+        return self.encode_news(title, body, vert, subvert, train).reshape(b, l, -1)
+
+    def __call__(self, batch: dict, train: bool = False) -> jnp.ndarray:
+        hist_vecs = self._encode_side(batch, "hist", train)
+        cand_vecs = self._encode_side(batch, "cand", train)
+        user = self.user_pool(hist_vecs)
+        return _dot_scores(cand_vecs, user)

@@ -1,0 +1,274 @@
+"""Jitted training loop with the reference's callback semantics.
+
+Replaces the reference's Keras ``model.fit`` + callback stack
+(reference: examples/reproducibility_scripts/ebnerd_nrms.py:212-257 —
+TensorBoard, EarlyStopping(val_auc), ModelCheckpoint(best, weights only),
+ReduceLROnPlateau) with an explicit jitted step:
+
+- ONE model, K candidates, raw logits. Softmax-CE for training and
+  sigmoid for scoring are applied around the same forward fn (the
+  reference's twin model/scorer graphs, nrms.py:161-210).
+- The article-table gather happens in-graph (models/inputs.py); batches
+  are int32 index arrays.
+- Learning-rate plateau reduction mutates the optax hyperparam injected
+  into the optimizer state — no recompilation.
+- Data parallelism: pass a Mesh; batches are sharded over the 'data'
+  axis and jit inserts the gradient psum (parallel/mesh.py).
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import core, struct
+
+from ..data.dataloader import EvalFeed, NewsrecFeed
+from ..data.ragged import Ragged
+from ..evaluation.ranking import per_impression_auc
+from ..models.inputs import BatchBuilder
+from ..parallel.mesh import data_sharding, replicated, shard_batch
+from .losses import l2_penalty, loss_fn_for
+
+__all__ = ["TrainState", "Trainer", "TrainerConfig"]
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: core.FrozenDict
+    batch_stats: core.FrozenDict
+    opt_state: optax.OptState
+
+    def hyperparams(self):
+        return self.opt_state.hyperparams  # inject_hyperparams wrapper
+
+
+@dataclass
+class TrainerConfig:
+    learning_rate: float = 1e-4
+    loss: str = "cross_entropy_loss"
+    optimizer: str = "adam"
+    l2_regularization: float = 0.0
+    # callbacks (reference defaults: ebnerd_nrms.py:216-237)
+    early_stopping_patience: Optional[int] = 4
+    monitor_mode: str = "max"  # val_auc
+    lr_factor: float = 0.2
+    lr_patience: Optional[int] = 2
+    min_lr: float = 1e-6
+    seed: int = 42
+
+
+class Trainer:
+    """Train/score driver for one newsrec model.
+
+    Args:
+      model: a flax module whose ``__call__(batch, train)`` returns [B, K]
+        logits (models/newsrec.py convention).
+      tables: dict of numpy value tables (models/inputs.py convention);
+        placed on device (replicated, or row-sharded by the caller).
+      batch_builder: gathers model inputs from tables + index batch.
+      mesh: optional jax.sharding.Mesh for data parallelism.
+    """
+
+    def __init__(
+        self,
+        model,
+        tables: dict[str, np.ndarray],
+        batch_builder: BatchBuilder,
+        config: TrainerConfig = TrainerConfig(),
+        mesh=None,
+        table_specs: Optional[dict] = None,
+        param_specs: Optional[dict] = None,
+        log_fn: Callable[[str], None] = print,
+    ):
+        """``table_specs`` / ``param_specs`` map a name substring to a
+        PartitionSpec (e.g. {"title": P("model")} row-shards the token
+        table over the model axis — the sharded-embedding TP path). Tables
+        and params not matched are replicated over the mesh."""
+        self.model = model
+        self.config = config
+        self.mesh = mesh
+        self.builder = batch_builder
+        self.log = log_fn
+        self.param_specs = param_specs or {}
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+
+            def table_sharding_for(name):
+                for sub, spec in (table_specs or {}).items():
+                    if sub in name:
+                        return NamedSharding(mesh, spec)
+                return replicated(mesh)
+
+            self.tables = {
+                k: jax.device_put(np.asarray(v), table_sharding_for(k))
+                for k, v in tables.items()
+            }
+        else:
+            self.tables = {k: jnp.asarray(v) for k, v in tables.items()}
+        if config.optimizer != "adam":
+            raise ValueError(f"this optimizer not defined {config.optimizer}")
+        self.tx = optax.inject_hyperparams(optax.adam)(learning_rate=config.learning_rate)
+        self.loss_fn = loss_fn_for(config.loss)
+        self.state: Optional[TrainState] = None
+        self._rng = jax.random.key(config.seed)
+        if mesh is not None:
+            self._rng = jax.device_put(self._rng, replicated(mesh))
+        self.history: list[dict[str, float]] = []
+
+    # -- state ------------------------------------------------------------
+
+    def init_state(self, example_batch: dict[str, np.ndarray]) -> TrainState:
+        raw = {k: np.asarray(v) for k, v in example_batch.items()}
+        if self.mesh is not None:
+            raw = shard_batch(raw, self.mesh)
+        batch = self.builder(self.tables, raw)
+        variables = self.model.init(jax.random.key(self.config.seed), batch, train=False)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", core.FrozenDict())
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding
+
+            rep = replicated(self.mesh)
+
+            def put_param(path, leaf):
+                name = "/".join(str(getattr(p, "key", p)) for p in path)
+                for sub, spec in self.param_specs.items():
+                    if sub in name:
+                        return jax.device_put(leaf, NamedSharding(self.mesh, spec))
+                return jax.device_put(leaf, rep)
+
+            params = jax.tree_util.tree_map_with_path(put_param, params)
+            batch_stats = jax.device_put(batch_stats, rep)
+        self.state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=self.tx.init(params),
+        )
+        return self.state
+
+    # -- steps ------------------------------------------------------------
+
+    @partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def _train_step(self, state: TrainState, raw: dict, rng) -> tuple[TrainState, jnp.ndarray]:
+        batch = self.builder(self.tables, raw)
+        labels = raw["labels"]
+
+        def loss_of(params):
+            variables = {"params": params}
+            mutable = False
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+                mutable = ["batch_stats"]
+            out = self.model.apply(
+                variables, batch, train=True, rngs={"dropout": rng}, mutable=mutable
+            )
+            logits, new_stats = out if mutable else (out, {})
+            loss = self.loss_fn(logits, labels)
+            if self.config.l2_regularization:
+                loss = loss + self.config.l2_regularization * l2_penalty(params)
+            return loss, new_stats
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_of, has_aux=True)(state.params)
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_bs = new_stats.get("batch_stats", state.batch_stats) if state.batch_stats else state.batch_stats
+        return (
+            state.replace(step=state.step + 1, params=params,
+                          batch_stats=new_bs, opt_state=opt_state),
+            loss,
+        )
+
+    @partial(jax.jit, static_argnums=0)
+    def _score_step(self, state: TrainState, raw: dict) -> jnp.ndarray:
+        batch = self.builder(self.tables, raw)
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        logits = self.model.apply(variables, batch, train=False)
+        return jax.nn.sigmoid(logits)
+
+    # -- loops ------------------------------------------------------------
+
+    def _put(self, raw: dict) -> dict:
+        raw = {k: v for k, v in raw.items() if k != "n_valid"}
+        return shard_batch(raw, self.mesh)
+
+    def fit(
+        self,
+        train_feed: NewsrecFeed,
+        val_feed: Optional[EvalFeed] = None,
+        val_labels: Optional[Ragged] = None,
+        epochs: int = 1,
+        steps_per_epoch: Optional[int] = None,
+    ) -> list[dict[str, float]]:
+        """Epoch loop with val-AUC monitoring, best-weights restore, early
+        stopping, and LR plateau reduction (reference callback behavior,
+        ebnerd_nrms.py:212-257)."""
+        cfg = self.config
+        if self.state is None:
+            first = next(iter(train_feed.epoch(shuffle=False)))
+            self.init_state(first)
+        best_metric = -np.inf if cfg.monitor_mode == "max" else np.inf
+        best_params = self.state.params
+        best_stats = self.state.batch_stats
+        es_wait = lr_wait = 0
+        lr = cfg.learning_rate
+        stop = False
+        for epoch in range(epochs):
+            losses = []
+            for i, raw in enumerate(train_feed.epoch()):
+                if steps_per_epoch is not None and i >= steps_per_epoch:
+                    break
+                self._rng, step_rng = jax.random.split(self._rng)
+                self.state, loss = self._train_step(self.state, self._put(raw), step_rng)
+                losses.append(loss)
+            mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
+            record = {"epoch": epoch, "loss": mean_loss, "lr": lr}
+            if val_feed is not None and val_labels is not None:
+                scores = self.score(val_feed)
+                val_auc = float(np.nanmean(per_impression_auc(val_labels, scores)))
+                record["val_auc"] = val_auc
+                better = val_auc > best_metric if cfg.monitor_mode == "max" else val_auc < best_metric
+                if better:
+                    best_metric, es_wait, lr_wait = val_auc, 0, 0
+                    best_params, best_stats = self.state.params, self.state.batch_stats
+                else:
+                    es_wait += 1
+                    lr_wait += 1
+                    if cfg.lr_patience is not None and lr_wait >= cfg.lr_patience:
+                        lr = max(lr * cfg.lr_factor, cfg.min_lr)
+                        self.state.opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
+                        lr_wait = 0
+                        self.log(f"[trainer] reduce lr -> {lr:g}")
+                    if cfg.early_stopping_patience is not None and es_wait >= cfg.early_stopping_patience:
+                        stop = True
+            self.history.append(record)
+            self.log(f"[trainer] {record}")
+            if stop:
+                self.log("[trainer] early stopping; restoring best weights")
+                break
+        if val_feed is not None and val_labels is not None:
+            self.state = self.state.replace(params=best_params, batch_stats=best_stats)
+        return self.history
+
+    def score(self, feed: EvalFeed) -> Ragged:
+        """Masked batched scoring over ragged impressions; returns a ragged
+        score column aligned with the inview lists (the reference explodes
+        to single-candidate scorer calls instead, dataloader.py:94-107)."""
+        if self.state is None:
+            raise RuntimeError("call fit() or init_state() first")
+        out = np.zeros((feed.n_rows, feed.width), np.float32)
+        row = 0
+        for raw in feed.batches():
+            n_valid = raw["n_valid"]
+            scores = np.asarray(self._score_step(self.state, self._put(raw)))
+            out[row : row + n_valid] = scores[:n_valid]
+            row += n_valid
+        return feed.unpad(out)

@@ -1,0 +1,115 @@
+"""End-to-end training-loop tests: synthetic split -> wu2019 -> feeds ->
+jitted Trainer -> val AUC, the TPU counterpart of the reference's
+quick-start dummy runs + Keras fit wiring
+(reference: examples/quick_start/nrms_dummy.py, ebnerd_nrms.py:212-257)."""
+import numpy as np
+import pytest
+
+import jax
+
+from ebnerd_tpu import constants as c
+from ebnerd_tpu.data.behaviors import (
+    create_binary_labels_column,
+    ebnerd_from_path,
+    sampling_strategy_wu2019,
+)
+from ebnerd_tpu.data.dataloader import EvalFeed, NewsrecFeed
+from ebnerd_tpu.data.lookup import Lookup
+from ebnerd_tpu.models.config import HParamsNRMS
+from ebnerd_tpu.models.inputs import token_batch
+from ebnerd_tpu.models.newsrec import NRMS
+from ebnerd_tpu.parallel.mesh import make_mesh
+from ebnerd_tpu.training.trainer import Trainer, TrainerConfig
+
+H, T, NPRATIO, BS = 6, 8, 3, 16
+VOCAB = 200
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    from ebnerd_tpu.data.synthetic import make_synthetic_ebnerd
+
+    path = tmp_path_factory.mktemp("trainer") / "train"
+    make_synthetic_ebnerd(path, n_users=40, n_articles=80, n_impressions=256, seed=1)
+    df = ebnerd_from_path(path, history_size=H)
+    train_df = create_binary_labels_column(
+        sampling_strategy_wu2019(df, npratio=NPRATIO, shuffle=True, seed=2)
+    )
+    val_df = create_binary_labels_column(df)
+
+    rng = np.random.default_rng(0)
+    from ebnerd_tpu.data.table import read_parquet
+
+    articles = read_parquet(path / "articles.parquet")
+    ids = np.asarray(articles[c.DEFAULT_ARTICLE_ID_COL])
+    tokens = rng.integers(1, VOCAB, size=(len(ids), T)).astype(np.int32)
+    lookup = Lookup.from_values(ids, tokens)
+
+    train_feed = NewsrecFeed(train_df, lookup, history_size=H, batch_size=BS)
+    val_feed = EvalFeed(val_df, lookup, history_size=H, batch_size=BS)
+    val_labels = val_df[c.DEFAULT_LABELS_COL]
+    return lookup, train_feed, val_feed, val_labels
+
+
+def _make_trainer(lookup, mesh=None):
+    hp = HParamsNRMS(title_size=T, history_size=H, head_num=2, head_dim=8,
+                     attention_hidden_dim=16)
+    model = NRMS(hp, vocab_size=VOCAB, word_emb_dim=16)
+    cfg = TrainerConfig(learning_rate=1e-3, early_stopping_patience=None,
+                        lr_patience=None, seed=0)
+    return Trainer(model, {"title": lookup.matrix}, token_batch, cfg,
+                   mesh=mesh, log_fn=lambda s: None)
+
+
+def test_fit_and_score_end_to_end(setup):
+    lookup, train_feed, val_feed, val_labels = setup
+    trainer = _make_trainer(lookup)
+    history = trainer.fit(train_feed, val_feed, val_labels, epochs=2)
+    assert len(history) == 2
+    assert np.isfinite(history[0]["loss"])
+    # random-data loss starts near ln(npratio+1) and decreases
+    assert history[1]["loss"] < history[0]["loss"]
+    assert 0.0 <= history[0]["val_auc"] <= 1.0
+    scores = trainer.score(val_feed)
+    assert scores.offsets[-1] == val_labels.offsets[-1]
+    vals = np.asarray(scores.values)
+    assert np.isfinite(vals).all() and (vals >= 0).all() and (vals <= 1).all()
+
+
+def test_lr_plateau_and_early_stop(setup):
+    lookup, train_feed, val_feed, val_labels = setup
+    hp = HParamsNRMS(title_size=T, history_size=H, head_num=2, head_dim=8,
+                     attention_hidden_dim=16)
+    model = NRMS(hp, vocab_size=VOCAB, word_emb_dim=16)
+    cfg = TrainerConfig(learning_rate=0.0, early_stopping_patience=2,
+                        lr_patience=1, lr_factor=0.5, min_lr=0.0, seed=0)
+    trainer = Trainer(model, {"title": lookup.matrix}, token_batch, cfg,
+                      log_fn=lambda s: None)
+    # lr=0 -> val_auc can never improve after epoch 1 -> early stop at epoch 3
+    history = trainer.fit(train_feed, val_feed, val_labels, epochs=10,
+                          steps_per_epoch=2)
+    assert len(history) == 3
+    assert history[-1]["lr"] < history[0]["lr"] or history[0]["lr"] == 0.0
+
+
+def test_data_parallel_mesh_matches_single_device(setup):
+    lookup, train_feed, val_feed, val_labels = setup
+    mesh = make_mesh()  # 8 virtual CPU devices on the data axis
+    assert mesh.devices.size == len(jax.devices())
+    single = _make_trainer(lookup)
+    sharded = _make_trainer(lookup, mesh=mesh)
+    first = next(iter(train_feed.epoch(shuffle=False)))
+    single.init_state(first)
+    sharded.init_state(first)
+    # identical params at init -> near-bitwise identical scores
+    np.testing.assert_allclose(
+        np.asarray(single.score(val_feed).values),
+        np.asarray(sharded.score(val_feed).values), rtol=1e-5, atol=1e-6,
+    )
+    single.fit(train_feed, epochs=1, steps_per_epoch=3)
+    sharded.fit(train_feed, epochs=1, steps_per_epoch=3)
+    s1 = single.score(val_feed)
+    s2 = sharded.score(val_feed)
+    # after training: psum reduction order + adam amplification -> loose tol
+    np.testing.assert_allclose(np.asarray(s1.values), np.asarray(s2.values),
+                               atol=3e-3)
