@@ -1,0 +1,87 @@
+"""Chunked, resumable test-set inference.
+
+Mirrors the reference's failure-recovery protocol for the huge hidden
+test set (reference: examples/reproducibility_scripts/ebnerd_nrms.py:
+287-315 and args_nrms.py:76-81): the behaviors frame is split into N
+chunks; each chunk is scored, ranked, and persisted immediately as
+parquet; a restart skips chunks whose files already exist.
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from ..constants import DEFAULT_IMPRESSION_ID_COL, DEFAULT_INVIEW_ARTICLES_COL
+from ..data.dataloader import EvalFeed
+from ..data.lookup import Lookup
+from ..data.ragged import Ragged
+from ..data.table import Table, read_parquet, write_parquet
+from ..utils.submission import rank_ragged_scores
+
+__all__ = ["chunked_score", "split_chunks"]
+
+SCORES_COL = "scores"
+RANKS_COL = "ranked_scores"
+
+
+def split_chunks(df: Table, n_chunks: int) -> list[Table]:
+    """Split into n near-equal contiguous chunks (reference:
+    split_df_chunks, _polars.py:361-406)."""
+    bounds = np.linspace(0, len(df), n_chunks + 1).astype(np.int64)
+    return [df.slice(int(a), int(b - a)) for a, b in zip(bounds[:-1], bounds[1:])]
+
+
+def chunked_score(
+    trainer,
+    behaviors: Table,
+    lookup: Lookup,
+    history_size: int,
+    batch_size: int,
+    n_chunks: int,
+    out_dir,
+    user_mapping: Optional[dict] = None,
+    max_candidates: Optional[int] = None,
+    log=print,
+) -> Table:
+    """Score ``behaviors`` in resumable chunks.
+
+    Writes ``out_dir/pred_chunk_<i>.parquet`` with impression ids, ragged
+    scores, and 1-based descending ranks; existing files are skipped
+    (the reference's --chunks_done resume, done here by file presence).
+    Returns the concatenated result.
+    """
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    chunks = split_chunks(behaviors, n_chunks)
+    results: list[Table] = []
+    for i, chunk in enumerate(chunks):
+        path = out_dir / f"pred_chunk_{i}.parquet"
+        if path.exists():
+            log(f"[inference] chunk {i}: exists, skipping")
+            results.append(read_parquet(path))
+            continue
+        if len(chunk) == 0:
+            continue
+        feed = EvalFeed(
+            chunk, lookup, history_size=history_size, batch_size=batch_size,
+            user_mapping=user_mapping, max_candidates=max_candidates,
+        )
+        scores: Ragged = trainer.score(feed)
+        ranks = rank_ragged_scores(scores)
+        out = Table({
+            DEFAULT_IMPRESSION_ID_COL: np.asarray(chunk[DEFAULT_IMPRESSION_ID_COL]),
+            DEFAULT_INVIEW_ARTICLES_COL: chunk[DEFAULT_INVIEW_ARTICLES_COL],
+            SCORES_COL: scores,
+            RANKS_COL: ranks,
+        })
+        write_parquet(out, path)
+        log(f"[inference] chunk {i}: {len(chunk)} impressions -> {path.name}")
+        results.append(out)
+    if not results:
+        raise ValueError("no chunks produced (empty behaviors?)")
+    total = results[0]
+    for r in results[1:]:
+        total = total.concat(r)
+    return total
