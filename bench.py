@@ -54,12 +54,15 @@ def main() -> None:
     from ebnerd_tpu.models.newsrec import NRMS
     from ebnerd_tpu.training.trainer import Trainer, TrainerConfig
 
+    import jax.numpy as jnp
+
     bs = int(os.environ.get("BENCH_BS", "256"))
     steps = int(os.environ.get("BENCH_STEPS", "30"))
     warmup = int(os.environ.get("BENCH_WARMUP", "5"))
+    dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE") == "bfloat16" else jnp.float32
 
     hp = HParamsNRMS()  # title 30, hist 20, 20x20 heads, attn 200
-    model = NRMS(hp, vocab_size=VOCAB, word_emb_dim=EMB)
+    model = NRMS(hp, vocab_size=VOCAB, word_emb_dim=EMB, dtype=dtype)
     rng = np.random.default_rng(0)
     table = rng.integers(0, VOCAB, size=(N_ARTICLES + 1, TITLE)).astype(np.int32)
     trainer = Trainer(

@@ -207,6 +207,7 @@ class Trainer:
         val_labels: Optional[Ragged] = None,
         epochs: int = 1,
         steps_per_epoch: Optional[int] = None,
+        scalar_logger=None,
     ) -> list[dict[str, float]]:
         """Epoch loop with val-AUC monitoring, best-weights restore, early
         stopping, and LR plateau reduction (reference callback behavior,
@@ -215,9 +216,15 @@ class Trainer:
         if self.state is None:
             first = next(iter(train_feed.epoch(shuffle=False)))
             self.init_state(first)
+
+        def snapshot(tree):
+            # _train_step donates the incoming state, so the best-weights
+            # snapshot must own its buffers, not alias soon-dead ones.
+            return jax.tree_util.tree_map(jnp.copy, tree)
+
         best_metric = -np.inf if cfg.monitor_mode == "max" else np.inf
-        best_params = self.state.params
-        best_stats = self.state.batch_stats
+        best_params = snapshot(self.state.params)
+        best_stats = snapshot(self.state.batch_stats)
         es_wait = lr_wait = 0
         lr = cfg.learning_rate
         stop = False
@@ -238,7 +245,8 @@ class Trainer:
                 better = val_auc > best_metric if cfg.monitor_mode == "max" else val_auc < best_metric
                 if better:
                     best_metric, es_wait, lr_wait = val_auc, 0, 0
-                    best_params, best_stats = self.state.params, self.state.batch_stats
+                    best_params = snapshot(self.state.params)
+                    best_stats = snapshot(self.state.batch_stats)
                 else:
                     es_wait += 1
                     lr_wait += 1
@@ -250,6 +258,12 @@ class Trainer:
                     if cfg.early_stopping_patience is not None and es_wait >= cfg.early_stopping_patience:
                         stop = True
             self.history.append(record)
+            if scalar_logger is not None:
+                scalar_logger.log_dict(
+                    {f"train/{k}" if k == "loss" else f"val/{k}" if k.startswith("val") else f"train/{k}": v
+                     for k, v in record.items() if k != "epoch"},
+                    step=epoch,
+                )
             self.log(f"[trainer] {record}")
             if stop:
                 self.log("[trainer] early stopping; restoring best weights")

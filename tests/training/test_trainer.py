@@ -92,6 +92,25 @@ def test_lr_plateau_and_early_stop(setup):
     assert history[-1]["lr"] < history[0]["lr"] or history[0]["lr"] == 0.0
 
 
+def test_best_weights_survive_buffer_donation(setup):
+    """_train_step donates the state; the best-weights snapshot must own
+    its buffers. With a diverging lr the initial snapshot is never
+    replaced, so restoring it after training exercises exactly the
+    aliased-donated-buffer path (regression: 'Buffer has been deleted or
+    donated' on score after fit)."""
+    lookup, train_feed, val_feed, val_labels = setup
+    hp = HParamsNRMS(title_size=T, history_size=H, head_num=2, head_dim=8,
+                     attention_hidden_dim=16)
+    model = NRMS(hp, vocab_size=VOCAB, word_emb_dim=16)
+    cfg = TrainerConfig(learning_rate=1e6, early_stopping_patience=None,
+                        lr_patience=None, seed=0)
+    trainer = Trainer(model, {"title": lookup.matrix}, token_batch, cfg,
+                      log_fn=lambda s: None)
+    trainer.fit(train_feed, val_feed, val_labels, epochs=2, steps_per_epoch=2)
+    scores = trainer.score(val_feed)  # must not hit dead donated buffers
+    assert scores.offsets[-1] == val_labels.offsets[-1]
+
+
 def test_data_parallel_mesh_matches_single_device(setup):
     lookup, train_feed, val_feed, val_labels = setup
     mesh = make_mesh()  # 8 virtual CPU devices on the data axis
