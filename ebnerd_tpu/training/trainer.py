@@ -38,6 +38,16 @@ from .losses import l2_penalty, loss_fn_for
 __all__ = ["TrainState", "Trainer", "TrainerConfig"]
 
 
+def _hyperparams(opt_state) -> dict:
+    """The inject_hyperparams dict, looking through a MultiSteps wrapper."""
+    if hasattr(opt_state, "hyperparams"):
+        return opt_state.hyperparams
+    inner = getattr(opt_state, "inner_opt_state", None)
+    if inner is not None and hasattr(inner, "hyperparams"):
+        return inner.hyperparams
+    raise AttributeError("optimizer state carries no injected hyperparams")
+
+
 class TrainState(struct.PyTreeNode):
     step: jnp.ndarray
     params: core.FrozenDict
@@ -45,7 +55,7 @@ class TrainState(struct.PyTreeNode):
     opt_state: optax.OptState
 
     def hyperparams(self):
-        return self.opt_state.hyperparams  # inject_hyperparams wrapper
+        return _hyperparams(self.opt_state)
 
 
 @dataclass
@@ -61,6 +71,9 @@ class TrainerConfig:
     lr_patience: Optional[int] = 2
     min_lr: float = 1e-6
     seed: int = 42
+    # gradient accumulation: apply the optimizer every N micro-batches
+    # (reference: fastformer/dataloader.py:198-204)
+    accumulation_steps: int = 1
 
 
 class Trainer:
@@ -114,6 +127,8 @@ class Trainer:
         if config.optimizer != "adam":
             raise ValueError(f"this optimizer not defined {config.optimizer}")
         self.tx = optax.inject_hyperparams(optax.adam)(learning_rate=config.learning_rate)
+        if config.accumulation_steps > 1:
+            self.tx = optax.MultiSteps(self.tx, every_k_schedule=config.accumulation_steps)
         self.loss_fn = loss_fn_for(config.loss)
         self.state: Optional[TrainState] = None
         self._rng = jax.random.key(config.seed)
@@ -252,7 +267,7 @@ class Trainer:
                     lr_wait += 1
                     if cfg.lr_patience is not None and lr_wait >= cfg.lr_patience:
                         lr = max(lr * cfg.lr_factor, cfg.min_lr)
-                        self.state.opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
+                        _hyperparams(self.state.opt_state)["learning_rate"] = jnp.asarray(lr)
                         lr_wait = 0
                         self.log(f"[trainer] reduce lr -> {lr:g}")
                     if cfg.early_stopping_patience is not None and es_wait >= cfg.early_stopping_patience:

@@ -92,6 +92,44 @@ def test_lr_plateau_and_early_stop(setup):
     assert history[-1]["lr"] < history[0]["lr"] or history[0]["lr"] == 0.0
 
 
+def test_gradient_accumulation_matches_large_batch(setup):
+    """accumulation_steps=2 at bs B must match one step at bs 2B (Adam on
+    the mean gradient; reference: fastformer/dataloader.py:198-204)."""
+    import jax
+
+    lookup, train_feed, _, _ = setup
+    # dropout off: masks are shape-dependent, which would differ between
+    # the two micro-batches and the one large batch
+    hp = HParamsNRMS(title_size=T, history_size=H, head_num=2, head_dim=8,
+                     attention_hidden_dim=16, dropout=0.0)
+
+    def make(accum):
+        model = NRMS(hp, vocab_size=VOCAB, word_emb_dim=16)
+        cfg = TrainerConfig(learning_rate=1e-3, early_stopping_patience=None,
+                            lr_patience=None, seed=0, accumulation_steps=accum)
+        return Trainer(model, {"title": lookup.matrix}, token_batch, cfg,
+                       log_fn=lambda s: None)
+
+    batches = [b for _, b in zip(range(2), train_feed.epoch(shuffle=False))]
+    big = {k: np.concatenate([b[k] for b in batches]) for k in batches[0]}
+
+    accum = make(2)
+    accum.init_state(batches[0])
+    key = jax.random.key(0)
+    for b in batches:
+        accum.state, _ = accum._train_step(accum.state, dict(b), key)
+
+    ref = make(1)
+    ref.init_state(batches[0])
+    ref.state, _ = ref._train_step(ref.state, big, key)
+
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-4, atol=1e-6),
+        accum.state.params, ref.state.params,
+    )
+
+
 def test_best_weights_survive_buffer_donation(setup):
     """_train_step donates the state; the best-weights snapshot must own
     its buffers. With a diverging lr the initial snapshot is never
