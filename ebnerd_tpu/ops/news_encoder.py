@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_news_encoder", "news_encoder_reference"]
+__all__ = ["fused_news_encoder", "news_encoder", "news_encoder_reference"]
 
 
 def _kernel(x_ref, wq_ref, wk_ref, wv_ref, w_ref, b_ref, q_ref, out_ref,
@@ -129,6 +129,174 @@ def fused_news_encoder(
         interpret=interpret,
     )(x, wq, wk, wv, w_att, b_att, q_att)
     return out[:n]
+
+
+def _bwd_kernel(x_ref, wq_ref, wk_ref, wv_ref, w_ref, b_ref, q_ref, g_ref,
+                dx_ref, dwq_ref, dwk_ref, dwv_ref, dw_ref, db_ref, dq_ref,
+                *, num_heads: int, head_dim: int):
+    """Recompute-forward backward pass for one article block; weight grads
+    accumulate across sequential grid steps into revisited output blocks."""
+    nb, t, din = x_ref.shape
+    d = num_heads * head_dim
+    is_first = pl.program_id(0) == 0
+
+    x = x_ref[:].reshape(nb * t, din)
+    wq_w, wk_w, wv_w = wq_ref[:], wk_ref[:], wv_ref[:]
+    w_att, b_att, q_att = w_ref[:], b_ref[:], q_ref[:]
+    g = g_ref[:]                                           # [nb, d]
+
+    # ---- recompute forward ----
+    q = jnp.dot(x, wq_w, preferred_element_type=jnp.float32)
+    k = jnp.dot(x, wk_w, preferred_element_type=jnp.float32)
+    v = jnp.dot(x, wv_w, preferred_element_type=jnp.float32)
+
+    def to_heads(y):
+        return (y.reshape(nb, t, num_heads, head_dim)
+                .transpose(0, 2, 1, 3).reshape(nb * num_heads, t, head_dim))
+
+    def from_heads(y):
+        return (y.reshape(nb, num_heads, t, head_dim)
+                .transpose(0, 2, 1, 3).reshape(nb * t, d))
+
+    qh, kh, vh = to_heads(q), to_heads(k), to_heads(v)
+    scale = 1.0 / jnp.sqrt(jnp.asarray(head_dim, jnp.float32))
+    logits = jax.lax.dot_general(qh, kh, (((2,), (2,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32) * scale
+    probs = jax.nn.softmax(logits, axis=-1)                # [nb*h, t, t]
+    o = from_heads(jax.lax.dot_general(probs, vh, (((2,), (1,)), ((0,), (0,))),
+                                       preferred_element_type=jnp.float32))
+    z = jnp.dot(o, w_att, preferred_element_type=jnp.float32) + b_att
+    hact = jnp.tanh(z)                                     # [nb*t, a]
+    att = jnp.dot(hact, q_att,
+                  preferred_element_type=jnp.float32).reshape(nb, t)
+    att = att - jnp.max(att, axis=-1, keepdims=True)
+    expo = jnp.exp(att)
+    weight = expo / (jnp.sum(expo, axis=-1, keepdims=True) + 1e-8)
+
+    # ---- pooling backward ----
+    o3 = o.reshape(nb, t, d)
+    dvals = jax.lax.dot_general(o3, g.reshape(nb, d, 1),
+                                (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32
+                                ).reshape(nb, t)           # d_i = g . O_i
+    inner = jnp.sum(weight * dvals, axis=-1, keepdims=True)
+    datt = weight * (dvals - inner)                        # [nb, t]
+    do = weight[..., None] * g[:, None, :]                 # from the sum
+    datt_flat = datt.reshape(nb * t, 1)
+    dq_acc = jnp.dot(hact.T, datt_flat, preferred_element_type=jnp.float32)
+    dh = jnp.dot(datt_flat, q_att.T, preferred_element_type=jnp.float32)
+    dz = dh * (1.0 - hact * hact)
+    dw_acc = jnp.dot(o.T, dz, preferred_element_type=jnp.float32)
+    db_acc = jnp.sum(dz, axis=0)
+    do = do.reshape(nb * t, d) + jnp.dot(dz, w_att.T,
+                                         preferred_element_type=jnp.float32)
+
+    # ---- attention backward ----
+    doh = to_heads(do)                                     # [nb*h, t, dh]
+    dprobs = jax.lax.dot_general(doh, vh, (((2,), (2,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+    dvh = jax.lax.dot_general(probs, doh, (((1,), (1,)), ((0,), (0,))),
+                              preferred_element_type=jnp.float32)
+    dlogits = probs * (dprobs - jnp.sum(probs * dprobs, axis=-1, keepdims=True))
+    dlogits = dlogits * scale
+    dqh = jax.lax.dot_general(dlogits, kh, (((2,), (1,)), ((0,), (0,))),
+                              preferred_element_type=jnp.float32)
+    dkh = jax.lax.dot_general(dlogits, qh, (((1,), (1,)), ((0,), (0,))),
+                              preferred_element_type=jnp.float32)
+    dq_flat, dk_flat, dv_flat = from_heads(dqh), from_heads(dkh), from_heads(dvh)
+
+    # ---- projection backward ----
+    dwq_acc = jnp.dot(x.T, dq_flat, preferred_element_type=jnp.float32)
+    dwk_acc = jnp.dot(x.T, dk_flat, preferred_element_type=jnp.float32)
+    dwv_acc = jnp.dot(x.T, dv_flat, preferred_element_type=jnp.float32)
+    dx = (jnp.dot(dq_flat, wq_w.T, preferred_element_type=jnp.float32)
+          + jnp.dot(dk_flat, wk_w.T, preferred_element_type=jnp.float32)
+          + jnp.dot(dv_flat, wv_w.T, preferred_element_type=jnp.float32))
+    dx_ref[:] = dx.reshape(nb, t, din)
+
+    @pl.when(is_first)
+    def _():
+        dwq_ref[:] = dwq_acc
+        dwk_ref[:] = dwk_acc
+        dwv_ref[:] = dwv_acc
+        dw_ref[:] = dw_acc
+        db_ref[:] = db_acc
+        dq_ref[:] = dq_acc
+
+    @pl.when(jnp.logical_not(is_first))
+    def _():
+        dwq_ref[:] += dwq_acc
+        dwk_ref[:] += dwk_acc
+        dwv_ref[:] += dwv_acc
+        dw_ref[:] += dw_acc
+        db_ref[:] += db_acc
+        dq_ref[:] += dq_acc
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def news_encoder(x, wq, wk, wv, w_att, b_att, q_att,
+                 num_heads, block_n=16, interpret=False):
+    """Differentiable fused news encoder (custom VJP, recompute backward).
+    Same signature as ``fused_news_encoder`` with positional statics."""
+    return fused_news_encoder(x, wq, wk, wv, w_att, b_att, q_att,
+                              num_heads=num_heads, block_n=block_n,
+                              interpret=interpret)
+
+
+def _news_encoder_fwd(x, wq, wk, wv, w_att, b_att, q_att,
+                      num_heads, block_n, interpret):
+    out = fused_news_encoder(x, wq, wk, wv, w_att, b_att, q_att,
+                             num_heads=num_heads, block_n=block_n,
+                             interpret=interpret)
+    return out, (x, wq, wk, wv, w_att, b_att, q_att)
+
+
+def _news_encoder_bwd(num_heads, block_n, interpret, residuals, g):
+    x, wq, wk, wv, w_att, b_att, q_att = residuals
+    n, t, din = x.shape
+    d = wq.shape[1]
+    a = w_att.shape[1]
+    head_dim = d // num_heads
+    n_pad = -(-n // block_n) * block_n
+    if n_pad != n:
+        x = jnp.pad(x, ((0, n_pad - n), (0, 0), (0, 0)))
+        g = jnp.pad(g, ((0, n_pad - n), (0, 0)))
+    grid = (n_pad // block_n,)
+    full = lambda *shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                                       memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        partial(_bwd_kernel, num_heads=num_heads, head_dim=head_dim),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad, t, din), jnp.float32),  # dx
+            jax.ShapeDtypeStruct((din, d), jnp.float32),
+            jax.ShapeDtypeStruct((din, d), jnp.float32),
+            jax.ShapeDtypeStruct((din, d), jnp.float32),
+            jax.ShapeDtypeStruct((d, a), jnp.float32),
+            jax.ShapeDtypeStruct((a,), jnp.float32),
+            jax.ShapeDtypeStruct((a, 1), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_n, t, din), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full(din, d), full(din, d), full(din, d),
+            full(d, a), full(a), full(a, 1),
+            pl.BlockSpec((block_n, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((block_n, t, din), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full(din, d), full(din, d), full(din, d),
+            full(d, a), full(a), full(a, 1),
+        ),
+        interpret=interpret,
+    )(x, wq, wk, wv, w_att, b_att, q_att, g)
+    dx, dwq, dwk, dwv, dw, db, dq = outs
+    return dx[:n], dwq, dwk, dwv, dw, db, dq
+
+
+news_encoder.defvjp(_news_encoder_fwd, _news_encoder_bwd)
 
 
 def news_encoder_reference(x, wq, wk, wv, w_att, b_att, q_att, *, num_heads):

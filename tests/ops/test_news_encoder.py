@@ -33,6 +33,30 @@ def test_fused_matches_reference(n, t, din, heads, head_dim, a, block):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
 
 
+def test_custom_vjp_matches_autodiff():
+    """The recompute backward kernel's grads equal autodiff of the XLA
+    reference math for every input and weight."""
+    from ebnerd_tpu.ops.news_encoder import news_encoder
+
+    rng = np.random.default_rng(0)
+    n, t, din, heads, head_dim, a = 10, 12, 64, 4, 16, 32
+    d = heads * head_dim
+    mk = lambda *s, sc=0.05: jnp.asarray(rng.standard_normal(s, dtype=np.float32) * sc)
+    args = (mk(n, t, din, sc=1.0), mk(din, d), mk(din, d), mk(din, d),
+            mk(d, a), mk(a), mk(a, 1))
+
+    def loss_fused(*a_):
+        return jnp.sum(jnp.sin(news_encoder(*a_, heads, 4, True)))
+
+    def loss_ref(*a_):
+        return jnp.sum(jnp.sin(news_encoder_reference(*a_, num_heads=heads)))
+
+    g1 = jax.grad(loss_fused, argnums=tuple(range(7)))(*args)
+    g2 = jax.grad(loss_ref, argnums=tuple(range(7)))(*args)
+    for a_, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_), atol=5e-5)
+
+
 def test_reference_matches_flax_layers():
     """The pure-XLA reference math equals the flax SelfAttention+
     AdditiveAttention modules with the same weights."""
