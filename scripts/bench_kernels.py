@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Microbenchmarks on the attached accelerator:
+
+1. fused pallas news-encoder (fwd and fwd+bwd) vs the XLA reference math
+2. embedding-gradient strategies: autodiff scatter-add vs
+   sort+segment-sum+unique-scatter
+
+  python scripts/bench_kernels.py [encoder] [embgrad]
+"""
+from __future__ import annotations
+
+import sys
+import time
+from functools import partial
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+
+N, T, DIN, HEADS, HEAD_DIM, A = 6400, 30, 1024, 20, 20, 200
+VOCAB, EMB = 250_002, 1024
+STEPS, WARMUP = 10, 3
+
+
+def timed(fn, *args):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    for _ in range(WARMUP - 1):
+        jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / STEPS * 1000.0
+
+
+def bench_encoder():
+    from ebnerd_tpu.ops.news_encoder import (
+        fused_news_encoder,
+        news_encoder,
+        news_encoder_reference,
+    )
+
+    rng = np.random.default_rng(0)
+    d = HEADS * HEAD_DIM
+    mk = lambda *s, sc=0.05: jnp.asarray(rng.standard_normal(s, dtype=np.float32) * sc)
+    x = mk(N, T, DIN, sc=1.0)
+    args = (x, mk(DIN, d), mk(DIN, d), mk(DIN, d), mk(d, A), mk(A), mk(A, 1))
+
+    ref = jax.jit(partial(news_encoder_reference, num_heads=HEADS))
+    print(f"xla fwd                 {timed(ref, *args):8.2f} ms")
+    for block in (8, 16, 32):
+        fused = jax.jit(partial(fused_news_encoder, num_heads=HEADS, block_n=block))
+        try:
+            out = fused(*args)
+            expected = ref(*args)
+            err = float(jnp.max(jnp.abs(out - expected)))
+            print(f"pallas fwd block={block:<3}    {timed(fused, *args):8.2f} ms   maxerr {err:.2e}")
+        except Exception as e:
+            print(f"pallas fwd block={block}: FAILED {type(e).__name__}: {str(e)[:120]}")
+
+    def loss_ref(*a):
+        return jnp.sum(news_encoder_reference(*a, num_heads=HEADS))
+
+    gref = jax.jit(jax.grad(loss_ref, argnums=tuple(range(7))))
+    print(f"xla fwd+bwd             {timed(gref, *args):8.2f} ms")
+    for block in (8, 16):
+        def loss_fused(*a, _b=block):
+            return jnp.sum(news_encoder(*a, HEADS, _b, False))
+
+        gfused = jax.jit(jax.grad(loss_fused, argnums=tuple(range(7))))
+        try:
+            g1 = gfused(*args)
+            g2 = gref(*args)
+            err = max(float(jnp.max(jnp.abs(a_ - b_))) for a_, b_ in zip(g1, g2))
+            print(f"pallas fwd+bwd block={block:<3}{timed(gfused, *args):8.2f} ms   maxerr {err:.2e}")
+        except Exception as e:
+            print(f"pallas fwd+bwd block={block}: FAILED {type(e).__name__}: {str(e)[:120]}")
+
+
+def bench_embgrad():
+    rng = np.random.default_rng(0)
+    n_tok = 256 * 25 * 30  # batch 256, 25 articles, 30 tokens
+    ids = jnp.asarray(rng.integers(0, VOCAB, n_tok).astype(np.int32))
+    table = jnp.asarray(rng.standard_normal((VOCAB, EMB), dtype=np.float32) * 0.02)
+    g = jnp.asarray(rng.standard_normal((n_tok, EMB), dtype=np.float32))
+
+    @jax.jit
+    def autodiff_scatter(table, ids, g):
+        def f(tbl):
+            return jnp.sum(tbl[ids] * g)
+
+        return jax.grad(f)(table)
+
+    @jax.jit
+    def sorted_unique_scatter(table, ids, g):
+        order = jnp.argsort(ids)
+        sid, sg = ids[order], g[order]
+        # segment boundaries of equal ids
+        first = jnp.concatenate([jnp.ones(1, bool), sid[1:] != sid[:-1]])
+        seg = jnp.cumsum(first) - 1
+        summed = jax.ops.segment_sum(sg, seg, num_segments=n_tok)
+        uids = jnp.where(first, sid, -1)
+        uids = jax.ops.segment_max(jnp.where(first, sid, -1), seg, num_segments=n_tok)
+        out = jnp.zeros_like(table)
+        return out.at[uids].add(summed, mode="drop", unique_indices=True)
+
+    d1 = timed(autodiff_scatter, table, ids, g)
+    print(f"embgrad autodiff scatter  {d1:8.2f} ms")
+    try:
+        a = autodiff_scatter(table, ids, g)
+        b = sorted_unique_scatter(table, ids, g)
+        err = float(jnp.max(jnp.abs(a - b)))
+        d2 = timed(sorted_unique_scatter, table, ids, g)
+        print(f"embgrad sort+segsum       {d2:8.2f} ms   maxerr {err:.2e}")
+    except Exception as e:
+        print(f"embgrad sort+segsum: FAILED {type(e).__name__}: {str(e)[:120]}")
+
+
+if __name__ == "__main__":
+    which = set(sys.argv[1:]) or {"encoder", "embgrad"}
+    print(f"device={jax.devices()[0]}")
+    if "encoder" in which:
+        bench_encoder()
+    if "embgrad" in which:
+        bench_embgrad()
