@@ -291,10 +291,23 @@ def main(argv=None):
 
         test_path = Path(args.data_path).expanduser() / "ebnerd_testset" / "test"
         df_test = ebnerd_from_path(test_path, history_size=args.history_size)
-        chunked_score(trainer, df_test, lookup, history_size=args.history_size,
-                      batch_size=args.bs_test, n_chunks=args.n_chunks_test,
-                      out_dir=out_dir / "test_chunks",
-                      user_mapping=user_mapping)
+        # score the ~250-candidate beyond-accuracy rows separately so the
+        # normal rows don't pad to the BA bucket width (the reference also
+        # splits on is_beyond_accuracy, ebnerd_nrms.py:284-285)
+        if c.DEFAULT_IS_BEYOND_ACCURACY_COL in df_test:
+            ba_mask = np.asarray(df_test[c.DEFAULT_IS_BEYOND_ACCURACY_COL])
+            splits = [("wo_ba", df_test.filter(~ba_mask), args.n_chunks_test),
+                      ("w_ba", df_test.filter(ba_mask), 1)]
+        else:
+            splits = [("all", df_test, args.n_chunks_test)]
+        for name, part, n_chunks in splits:
+            if len(part) == 0:
+                continue
+            chunked_score(trainer, part, lookup,
+                          history_size=args.history_size,
+                          batch_size=args.bs_test, n_chunks=n_chunks,
+                          out_dir=out_dir / f"test_chunks_{name}",
+                          user_mapping=user_mapping)
     return results
 
 
