@@ -30,6 +30,30 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["fused_news_encoder", "news_encoder", "news_encoder_reference"]
 
 
+def _mhsa(q3, k3, v3, num_heads, head_dim):
+    """Per-head attention via lane slices + 3D batched dot_general.
+
+    NB: Mosaic (as deployed here) rejects 4D transposes like
+    (0, 2, 1, 3); the per-head static loop with lane slicing compiles
+    and keeps everything in VMEM.
+    """
+    scale = 1.0 / jnp.sqrt(jnp.asarray(head_dim, jnp.float32))
+    parts = []
+    for h in range(num_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        qh, kh, vh = q3[:, :, sl], k3[:, :, sl], v3[:, :, sl]
+        logits = jax.lax.dot_general(
+            qh, kh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale                                        # [nb, t, t]
+        probs = jax.nn.softmax(logits, axis=-1)
+        parts.append(jax.lax.dot_general(
+            probs, vh, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ))                                               # [nb, t, dh]
+    return jnp.concatenate(parts, axis=-1)               # [nb, t, d]
+
+
 def _kernel(x_ref, wq_ref, wk_ref, wv_ref, w_ref, b_ref, q_ref, out_ref,
             *, num_heads: int, head_dim: int):
     nb, t, din = x_ref.shape
@@ -38,31 +62,8 @@ def _kernel(x_ref, wq_ref, wk_ref, wv_ref, w_ref, b_ref, q_ref, out_ref,
     q = jnp.dot(x, wq_ref[:], preferred_element_type=jnp.float32)
     k = jnp.dot(x, wk_ref[:], preferred_element_type=jnp.float32)
     v = jnp.dot(x, wv_ref[:], preferred_element_type=jnp.float32)
-
-    # [nb*t, d] -> [nb*h, t, dh] (head-batched layout for the tiny matmuls)
-    def to_heads(y):
-        return (
-            y.reshape(nb, t, num_heads, head_dim)
-            .transpose(0, 2, 1, 3)
-            .reshape(nb * num_heads, t, head_dim)
-        )
-
-    qh, kh, vh = to_heads(q), to_heads(k), to_heads(v)
-    scale = 1.0 / jnp.sqrt(jnp.asarray(head_dim, jnp.float32))
-    logits = jax.lax.dot_general(
-        qh, kh, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ) * scale                                            # [nb*h, t, t]
-    probs = jax.nn.softmax(logits, axis=-1)
-    o = jax.lax.dot_general(
-        probs, vh, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )                                                     # [nb*h, t, dh]
-    o = (
-        o.reshape(nb, num_heads, t, head_dim)
-        .transpose(0, 2, 1, 3)
-        .reshape(nb * t, d)
-    )
+    o = _mhsa(q.reshape(nb, t, d), k.reshape(nb, t, d), v.reshape(nb, t, d),
+              num_heads, head_dim).reshape(nb * t, d)
     # additive attention pooling over t
     att = jnp.tanh(jnp.dot(o, w_ref[:], preferred_element_type=jnp.float32)
                    + b_ref[:])
@@ -145,26 +146,26 @@ def _bwd_kernel(x_ref, wq_ref, wk_ref, wv_ref, w_ref, b_ref, q_ref, g_ref,
     w_att, b_att, q_att = w_ref[:], b_ref[:], q_ref[:]
     g = g_ref[:]                                           # [nb, d]
 
-    # ---- recompute forward ----
+    # ---- recompute forward (per-head lane slices; see _mhsa note) ----
     q = jnp.dot(x, wq_w, preferred_element_type=jnp.float32)
     k = jnp.dot(x, wk_w, preferred_element_type=jnp.float32)
     v = jnp.dot(x, wv_w, preferred_element_type=jnp.float32)
-
-    def to_heads(y):
-        return (y.reshape(nb, t, num_heads, head_dim)
-                .transpose(0, 2, 1, 3).reshape(nb * num_heads, t, head_dim))
-
-    def from_heads(y):
-        return (y.reshape(nb, num_heads, t, head_dim)
-                .transpose(0, 2, 1, 3).reshape(nb * t, d))
-
-    qh, kh, vh = to_heads(q), to_heads(k), to_heads(v)
+    q3 = q.reshape(nb, t, d)
+    k3 = k.reshape(nb, t, d)
+    v3 = v.reshape(nb, t, d)
     scale = 1.0 / jnp.sqrt(jnp.asarray(head_dim, jnp.float32))
-    logits = jax.lax.dot_general(qh, kh, (((2,), (2,)), ((0,), (0,))),
-                                 preferred_element_type=jnp.float32) * scale
-    probs = jax.nn.softmax(logits, axis=-1)                # [nb*h, t, t]
-    o = from_heads(jax.lax.dot_general(probs, vh, (((2,), (1,)), ((0,), (0,))),
-                                       preferred_element_type=jnp.float32))
+    probs_h, o_parts = [], []
+    for h in range(num_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        logits = jax.lax.dot_general(
+            q3[:, :, sl], k3[:, :, sl], (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        p = jax.nn.softmax(logits, axis=-1)
+        probs_h.append(p)
+        o_parts.append(jax.lax.dot_general(
+            p, v3[:, :, sl], (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32))
+    o = jnp.concatenate(o_parts, axis=-1).reshape(nb * t, d)
     z = jnp.dot(o, w_att, preferred_element_type=jnp.float32) + b_att
     hact = jnp.tanh(z)                                     # [nb*t, a]
     att = jnp.dot(hact, q_att,
@@ -191,19 +192,30 @@ def _bwd_kernel(x_ref, wq_ref, wk_ref, wv_ref, w_ref, b_ref, q_ref, g_ref,
     do = do.reshape(nb * t, d) + jnp.dot(dz, w_att.T,
                                          preferred_element_type=jnp.float32)
 
-    # ---- attention backward ----
-    doh = to_heads(do)                                     # [nb*h, t, dh]
-    dprobs = jax.lax.dot_general(doh, vh, (((2,), (2,)), ((0,), (0,))),
-                                 preferred_element_type=jnp.float32)
-    dvh = jax.lax.dot_general(probs, doh, (((1,), (1,)), ((0,), (0,))),
-                              preferred_element_type=jnp.float32)
-    dlogits = probs * (dprobs - jnp.sum(probs * dprobs, axis=-1, keepdims=True))
-    dlogits = dlogits * scale
-    dqh = jax.lax.dot_general(dlogits, kh, (((2,), (1,)), ((0,), (0,))),
-                              preferred_element_type=jnp.float32)
-    dkh = jax.lax.dot_general(dlogits, qh, (((1,), (1,)), ((0,), (0,))),
-                              preferred_element_type=jnp.float32)
-    dq_flat, dk_flat, dv_flat = from_heads(dqh), from_heads(dkh), from_heads(dvh)
+    # ---- attention backward (per head) ----
+    do3 = do.reshape(nb, t, d)
+    dq_parts, dk_parts, dv_parts = [], [], []
+    for h in range(num_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        p = probs_h[h]
+        doh = do3[:, :, sl]
+        vh = v3[:, :, sl]
+        dprobs = jax.lax.dot_general(doh, vh, (((2,), (2,)), ((0,), (0,))),
+                                     preferred_element_type=jnp.float32)
+        dv_parts.append(jax.lax.dot_general(
+            p, doh, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32))
+        dlogits = p * (dprobs - jnp.sum(p * dprobs, axis=-1, keepdims=True))
+        dlogits = dlogits * scale
+        dq_parts.append(jax.lax.dot_general(
+            dlogits, k3[:, :, sl], (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32))
+        dk_parts.append(jax.lax.dot_general(
+            dlogits, q3[:, :, sl], (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32))
+    dq_flat = jnp.concatenate(dq_parts, axis=-1).reshape(nb * t, d)
+    dk_flat = jnp.concatenate(dk_parts, axis=-1).reshape(nb * t, d)
+    dv_flat = jnp.concatenate(dv_parts, axis=-1).reshape(nb * t, d)
 
     # ---- projection backward ----
     dwq_acc = jnp.dot(x.T, dq_flat, preferred_element_type=jnp.float32)

@@ -27,14 +27,26 @@ STEPS, WARMUP = 10, 3
 
 
 def timed(fn, *args):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    for _ in range(WARMUP - 1):
-        jax.block_until_ready(fn(*args))
+    """Device-only ms/step: STEPS iterations inside one jitted lax.scan,
+    each chained through the carry (a bare python loop with
+    block_until_ready under-measures through the remote runtime — unused
+    intermediate dispatches are not forced)."""
+    first = args[0]
+
+    @jax.jit
+    def loop(*a):
+        def body(carry, _):
+            out = fn(carry, *a[1:])
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            bump = (leaf.ravel()[0] * 1e-20).astype(carry.dtype)
+            return carry + bump, ()
+
+        c, _ = jax.lax.scan(body, a[0], None, length=STEPS)
+        return c.ravel()[0]
+
+    _ = float(loop(*args))  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(STEPS):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    val = float(loop(*args))
     return (time.perf_counter() - t0) / STEPS * 1000.0
 
 
