@@ -37,9 +37,13 @@ def timed(fn, *args):
     def loop(*a):
         def body(carry, _):
             out = fn(carry, *a[1:])
-            leaf = jax.tree_util.tree_leaves(out)[0]
-            bump = (leaf.ravel()[0] * 1e-20).astype(carry.dtype)
-            return carry + bump, ()
+            # probe every output leaf so nothing is DCE'd inside the scan
+            probe = sum(
+                l.ravel()[0].astype(carry.dtype)
+                for l in jax.tree_util.tree_leaves(out)
+                if hasattr(l, "ravel") and l.size
+            )
+            return carry + probe * 1e-20, ()
 
         c, _ = jax.lax.scan(body, a[0], None, length=STEPS)
         return c.ravel()[0]
