@@ -56,10 +56,12 @@ def main() -> None:
 
     import jax.numpy as jnp
 
-    bs = int(os.environ.get("BENCH_BS", "256"))
+    bs = int(os.environ.get("BENCH_BS", "512"))
     steps = int(os.environ.get("BENCH_STEPS", "30"))
     warmup = int(os.environ.get("BENCH_WARMUP", "5"))
-    dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE") == "bfloat16" else jnp.float32
+    # bf16 compute (fp32 params) is the TPU-native default; measured AUC
+    # parity with fp32 at convergence on synthetic EB-NeRD (see git log).
+    dtype = jnp.float32 if os.environ.get("BENCH_DTYPE") == "float32" else jnp.bfloat16
 
     hp = HParamsNRMS()  # title 30, hist 20, 20x20 heads, attn 200
     model = NRMS(hp, vocab_size=VOCAB, word_emb_dim=EMB, dtype=dtype)

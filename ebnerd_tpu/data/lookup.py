@@ -76,6 +76,16 @@ class Lookup:
         return self.matrix.shape[0]
 
 
+def map_list_article_id_to_value(
+    col: Ragged, lookup: Lookup
+) -> Ragged:
+    """Map a ragged article-id column to row indices in one vectorized
+    pass — API-parity alias for the reference's per-batch polars join
+    (reference: map_list_article_id_to_value,
+    _articles_behaviors.py:9-127); here it's ``Lookup.map_ragged``."""
+    return lookup.map_ragged(col)
+
+
 def create_lookup_objects(
     lookup_dictionary: dict[int, np.ndarray], unknown_representation: str = "zeros"
 ) -> tuple[dict[int, int], np.ndarray]:

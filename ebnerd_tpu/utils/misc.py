@@ -111,6 +111,23 @@ def get_object_variables(obj) -> dict:
     }
 
 
+def get_torch_device(use_gpu: bool = True) -> str:
+    """'cuda'/'mps'/'cpu' for the host-side torch artifact path
+    (reference: _python.py:350-356). The TPU compute path never uses
+    torch; this exists for the NLP artifact builders only."""
+    try:
+        import torch
+
+        if use_gpu and torch.cuda.is_available():
+            return "cuda"
+        if use_gpu and getattr(torch.backends, "mps", None) is not None \
+                and torch.backends.mps.is_available():
+            return "mps"
+    except ImportError:
+        pass
+    return "cpu"
+
+
 def create_lookup_dict(rows: dict[Any, Any]) -> dict:
     """Identity shim kept for API parity (reference builds {key: value}
     dicts from dataframes, _python.py:391-409)."""
