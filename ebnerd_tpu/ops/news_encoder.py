@@ -54,8 +54,8 @@ def _mhsa(q3, k3, v3, num_heads, head_dim):
     return jnp.concatenate(parts, axis=-1)               # [nb, t, d]
 
 
-def _kernel(x_ref, wq_ref, wk_ref, wv_ref, w_ref, b_ref, q_ref, out_ref,
-            *, num_heads: int, head_dim: int):
+def _kernel(x_ref, wq_ref, wk_ref, wv_ref, w_ref, b_ref, q_ref, mask_ref,
+            out_ref, *, num_heads: int, head_dim: int, keep_prob: float):
     nb, t, din = x_ref.shape
     d = num_heads * head_dim
     x = x_ref[:].reshape(nb * t, din)
@@ -64,6 +64,10 @@ def _kernel(x_ref, wq_ref, wk_ref, wv_ref, w_ref, b_ref, q_ref, out_ref,
     v = jnp.dot(x, wv_ref[:], preferred_element_type=jnp.float32)
     o = _mhsa(q.reshape(nb, t, d), k.reshape(nb, t, d), v.reshape(nb, t, d),
               num_heads, head_dim).reshape(nb * t, d)
+    if keep_prob < 1.0:
+        # inverted dropout between attention and pooling (the reference's
+        # training-mode Dropout, nrms.py:154)
+        o = o * mask_ref[:].reshape(nb * t, d).astype(jnp.float32) / keep_prob
     # additive attention pooling over t
     att = jnp.tanh(jnp.dot(o, w_ref[:], preferred_element_type=jnp.float32)
                    + b_ref[:])
@@ -80,7 +84,7 @@ def _kernel(x_ref, wq_ref, wk_ref, wv_ref, w_ref, b_ref, q_ref, out_ref,
     out_ref[:] = pooled.reshape(nb, d)
 
 
-@partial(jax.jit, static_argnames=("num_heads", "block_n", "interpret"))
+@partial(jax.jit, static_argnames=("num_heads", "block_n", "interpret", "keep_prob"))
 def fused_news_encoder(
     x: jnp.ndarray,
     wq: jnp.ndarray,
@@ -93,10 +97,14 @@ def fused_news_encoder(
     num_heads: int,
     block_n: int = 16,
     interpret: bool = False,
+    drop_mask: jnp.ndarray | None = None,
+    keep_prob: float = 1.0,
 ) -> jnp.ndarray:
     """x [N, T, Din] fp32, projections [Din, D], pooling params
     ([D, A], [A], [A, 1]) -> pooled article vectors [N, D].
 
+    ``drop_mask`` [N, T, D] bool + ``keep_prob`` apply the reference's
+    training-mode dropout between attention and pooling.
     N is padded to a multiple of ``block_n`` internally.
     """
     n, t, din = x.shape
@@ -105,11 +113,25 @@ def fused_news_encoder(
         raise ValueError(f"d={d} not divisible by num_heads={num_heads}")
     head_dim = d // num_heads
     n_pad = -(-n // block_n) * block_n
+    with_dropout = drop_mask is not None and keep_prob < 1.0
+    if not with_dropout:
+        keep_prob = 1.0
+        # unused by the kernel (static keep_prob branch); tiny dummy so no
+        # HBM traffic is spent on a mask in eval mode
+        drop_mask = jnp.ones((8, 128), jnp.float32)
+        mask_spec = pl.BlockSpec((8, 128), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        mask_spec = pl.BlockSpec((block_n, t, d), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
     if n_pad != n:
         x = jnp.pad(x, ((0, n_pad - n), (0, 0), (0, 0)))
+        if with_dropout:
+            drop_mask = jnp.pad(drop_mask, ((0, n_pad - n), (0, 0), (0, 0)))
     grid = (n_pad // block_n,)
     out = pl.pallas_call(
-        partial(_kernel, num_heads=num_heads, head_dim=head_dim),
+        partial(_kernel, num_heads=num_heads, head_dim=head_dim,
+                keep_prob=float(keep_prob)),
         out_shape=jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
         grid=grid,
         in_specs=[
@@ -124,17 +146,19 @@ def fused_news_encoder(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((w_att.shape[1], 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            mask_spec,
         ],
         out_specs=pl.BlockSpec((block_n, d), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(x, wq, wk, wv, w_att, b_att, q_att)
+    )(x, wq, wk, wv, w_att, b_att, q_att, drop_mask)
     return out[:n]
 
 
-def _bwd_kernel(x_ref, wq_ref, wk_ref, wv_ref, w_ref, b_ref, q_ref, g_ref,
+def _bwd_kernel(x_ref, wq_ref, wk_ref, wv_ref, w_ref, b_ref, q_ref, mask_ref,
+                g_ref,
                 dx_ref, dwq_ref, dwk_ref, dwv_ref, dw_ref, db_ref, dq_ref,
-                *, num_heads: int, head_dim: int):
+                *, num_heads: int, head_dim: int, keep_prob: float):
     """Recompute-forward backward pass for one article block; weight grads
     accumulate across sequential grid steps into revisited output blocks."""
     nb, t, din = x_ref.shape
@@ -166,6 +190,9 @@ def _bwd_kernel(x_ref, wq_ref, wk_ref, wv_ref, w_ref, b_ref, q_ref, g_ref,
             p, v3[:, :, sl], (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32))
     o = jnp.concatenate(o_parts, axis=-1).reshape(nb * t, d)
+    if keep_prob < 1.0:
+        drop_scale = mask_ref[:].reshape(nb * t, d).astype(jnp.float32) / keep_prob
+        o = o * drop_scale  # everything downstream sees the dropped values
     z = jnp.dot(o, w_att, preferred_element_type=jnp.float32) + b_att
     hact = jnp.tanh(z)                                     # [nb*t, a]
     att = jnp.dot(hact, q_att,
@@ -191,6 +218,8 @@ def _bwd_kernel(x_ref, wq_ref, wk_ref, wv_ref, w_ref, b_ref, q_ref, g_ref,
     db_acc = jnp.sum(dz, axis=0)
     do = do.reshape(nb * t, d) + jnp.dot(dz, w_att.T,
                                          preferred_element_type=jnp.float32)
+    if keep_prob < 1.0:
+        do = do * drop_scale  # route the gradient back through the dropout
 
     # ---- attention backward (per head) ----
     do3 = do.reshape(nb, t, d)
@@ -245,39 +274,55 @@ def _bwd_kernel(x_ref, wq_ref, wk_ref, wv_ref, w_ref, b_ref, q_ref, g_ref,
         dq_ref[:] += dq_acc
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
-def news_encoder(x, wq, wk, wv, w_att, b_att, q_att,
-                 num_heads, block_n=16, interpret=False):
+@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+def news_encoder(x, wq, wk, wv, w_att, b_att, q_att, drop_mask,
+                 num_heads, block_n=16, interpret=False, keep_prob=1.0):
     """Differentiable fused news encoder (custom VJP, recompute backward).
-    Same signature as ``fused_news_encoder`` with positional statics."""
+
+    ``drop_mask`` is a float32 0/1 tensor [N, T, D] (pass ones for eval);
+    ``keep_prob`` < 1 enables the reference's attention->pooling dropout.
+    """
     return fused_news_encoder(x, wq, wk, wv, w_att, b_att, q_att,
                               num_heads=num_heads, block_n=block_n,
-                              interpret=interpret)
+                              interpret=interpret, drop_mask=drop_mask,
+                              keep_prob=keep_prob)
 
 
-def _news_encoder_fwd(x, wq, wk, wv, w_att, b_att, q_att,
-                      num_heads, block_n, interpret):
+def _news_encoder_fwd(x, wq, wk, wv, w_att, b_att, q_att, drop_mask,
+                      num_heads, block_n, interpret, keep_prob):
     out = fused_news_encoder(x, wq, wk, wv, w_att, b_att, q_att,
                              num_heads=num_heads, block_n=block_n,
-                             interpret=interpret)
-    return out, (x, wq, wk, wv, w_att, b_att, q_att)
+                             interpret=interpret, drop_mask=drop_mask,
+                             keep_prob=keep_prob)
+    return out, (x, wq, wk, wv, w_att, b_att, q_att, drop_mask)
 
 
-def _news_encoder_bwd(num_heads, block_n, interpret, residuals, g):
-    x, wq, wk, wv, w_att, b_att, q_att = residuals
+def _news_encoder_bwd(num_heads, block_n, interpret, keep_prob, residuals, g):
+    x, wq, wk, wv, w_att, b_att, q_att, drop_mask = residuals
     n, t, din = x.shape
     d = wq.shape[1]
     a = w_att.shape[1]
     head_dim = d // num_heads
     n_pad = -(-n // block_n) * block_n
+    with_dropout = keep_prob < 1.0
+    if with_dropout:
+        mask_spec = pl.BlockSpec((block_n, t, d), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        drop_mask = jnp.ones((8, 128), jnp.float32)
+        mask_spec = pl.BlockSpec((8, 128), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM)
     if n_pad != n:
         x = jnp.pad(x, ((0, n_pad - n), (0, 0), (0, 0)))
         g = jnp.pad(g, ((0, n_pad - n), (0, 0)))
+        if with_dropout:
+            drop_mask = jnp.pad(drop_mask, ((0, n_pad - n), (0, 0), (0, 0)))
     grid = (n_pad // block_n,)
     full = lambda *shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                                        memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
-        partial(_bwd_kernel, num_heads=num_heads, head_dim=head_dim),
+        partial(_bwd_kernel, num_heads=num_heads, head_dim=head_dim,
+                keep_prob=float(keep_prob)),
         out_shape=(
             jax.ShapeDtypeStruct((n_pad, t, din), jnp.float32),  # dx
             jax.ShapeDtypeStruct((din, d), jnp.float32),
@@ -293,6 +338,7 @@ def _news_encoder_bwd(num_heads, block_n, interpret, residuals, g):
                          memory_space=pltpu.VMEM),
             full(din, d), full(din, d), full(din, d),
             full(d, a), full(a), full(a, 1),
+            mask_spec,
             pl.BlockSpec((block_n, d), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -303,9 +349,10 @@ def _news_encoder_bwd(num_heads, block_n, interpret, residuals, g):
             full(d, a), full(a), full(a, 1),
         ),
         interpret=interpret,
-    )(x, wq, wk, wv, w_att, b_att, q_att, g)
+    )(x, wq, wk, wv, w_att, b_att, q_att, drop_mask, g)
     dx, dwq, dwk, dwv, dw, db, dq = outs
-    return dx[:n], dwq, dwk, dwv, dw, db, dq
+    return (dx[:n], dwq, dwk, dwv, dw, db, dq,
+            jnp.zeros_like(residuals[7]))
 
 
 news_encoder.defvjp(_news_encoder_fwd, _news_encoder_bwd)

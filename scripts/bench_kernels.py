@@ -21,9 +21,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import jax
 import jax.numpy as jnp
 
-N, T, DIN, HEADS, HEAD_DIM, A = 6400, 30, 1024, 20, 20, 200
+import os
+
+N = int(os.environ.get("KBENCH_N", "1600"))
+T, DIN, HEADS, HEAD_DIM, A = 30, 1024, 20, 20, 200
 VOCAB, EMB = 250_002, 1024
-STEPS, WARMUP = 10, 3
+STEPS, WARMUP = int(os.environ.get("KBENCH_STEPS", "8")), 3
 
 
 def timed(fn, *args):
@@ -68,14 +71,14 @@ def bench_encoder():
     args = (x, mk(DIN, d), mk(DIN, d), mk(DIN, d), mk(d, A), mk(A), mk(A, 1))
 
     ref = jax.jit(partial(news_encoder_reference, num_heads=HEADS))
-    print(f"xla fwd                 {timed(ref, *args):8.2f} ms")
+    print(f"xla fwd                 {timed(ref, *args):8.2f} ms", flush=True)
     for block in (8, 16, 32):
         fused = jax.jit(partial(fused_news_encoder, num_heads=HEADS, block_n=block))
         try:
             out = fused(*args)
             expected = ref(*args)
             err = float(jnp.max(jnp.abs(out - expected)))
-            print(f"pallas fwd block={block:<3}    {timed(fused, *args):8.2f} ms   maxerr {err:.2e}")
+            print(f"pallas fwd block={block:<3}    {timed(fused, *args):8.2f} ms   maxerr {err:.2e}", flush=True)
         except Exception as e:
             print(f"pallas fwd block={block}: FAILED {type(e).__name__}: {str(e)[:120]}")
 
@@ -83,7 +86,7 @@ def bench_encoder():
         return jnp.sum(news_encoder_reference(*a, num_heads=HEADS))
 
     gref = jax.jit(jax.grad(loss_ref, argnums=tuple(range(7))))
-    print(f"xla fwd+bwd             {timed(gref, *args):8.2f} ms")
+    print(f"xla fwd+bwd             {timed(gref, *args):8.2f} ms", flush=True)
     for block in (8, 16):
         def loss_fused(*a, _b=block):
             return jnp.sum(news_encoder(*a, HEADS, _b, False))
@@ -93,7 +96,7 @@ def bench_encoder():
             g1 = gfused(*args)
             g2 = gref(*args)
             err = max(float(jnp.max(jnp.abs(a_ - b_))) for a_, b_ in zip(g1, g2))
-            print(f"pallas fwd+bwd block={block:<3}{timed(gfused, *args):8.2f} ms   maxerr {err:.2e}")
+            print(f"pallas fwd+bwd block={block:<3}{timed(gfused, *args):8.2f} ms   maxerr {err:.2e}", flush=True)
         except Exception as e:
             print(f"pallas fwd+bwd block={block}: FAILED {type(e).__name__}: {str(e)[:120]}")
 
@@ -126,13 +129,13 @@ def bench_embgrad():
         return out.at[uids].add(summed, mode="drop", unique_indices=True)
 
     d1 = timed(autodiff_scatter, table, ids, g)
-    print(f"embgrad autodiff scatter  {d1:8.2f} ms")
+    print(f"embgrad autodiff scatter  {d1:8.2f} ms", flush=True)
     try:
         a = autodiff_scatter(table, ids, g)
         b = sorted_unique_scatter(table, ids, g)
         err = float(jnp.max(jnp.abs(a - b)))
         d2 = timed(sorted_unique_scatter, table, ids, g)
-        print(f"embgrad sort+segsum       {d2:8.2f} ms   maxerr {err:.2e}")
+        print(f"embgrad sort+segsum       {d2:8.2f} ms   maxerr {err:.2e}", flush=True)
     except Exception as e:
         print(f"embgrad sort+segsum: FAILED {type(e).__name__}: {str(e)[:120]}")
 

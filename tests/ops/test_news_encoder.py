@@ -45,12 +45,59 @@ def test_custom_vjp_matches_autodiff():
     args = (mk(n, t, din, sc=1.0), mk(din, d), mk(din, d), mk(din, d),
             mk(d, a), mk(a), mk(a, 1))
 
+    dummy = jnp.ones((8, 128), jnp.float32)
+
     def loss_fused(*a_):
-        return jnp.sum(jnp.sin(news_encoder(*a_, heads, 4, True)))
+        return jnp.sum(jnp.sin(news_encoder(*a_, dummy, heads, 4, True)))
 
     def loss_ref(*a_):
         return jnp.sum(jnp.sin(news_encoder_reference(*a_, num_heads=heads)))
 
+    g1 = jax.grad(loss_fused, argnums=tuple(range(7)))(*args)
+    g2 = jax.grad(loss_ref, argnums=tuple(range(7)))(*args)
+    for a_, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_), atol=5e-5)
+
+
+def test_custom_vjp_with_dropout_matches_masked_reference():
+    """Training-mode path: the in-kernel dropout (mask applied between
+    attention and pooling) matches an XLA computation using the SAME mask,
+    in both outputs and all gradients."""
+    from ebnerd_tpu.ops.news_encoder import news_encoder
+
+    rng = np.random.default_rng(3)
+    n, t, din, heads, head_dim, a = 6, 10, 64, 4, 16, 32
+    d = heads * head_dim
+    keep = 0.8
+    mk = lambda *s, sc=0.05: jnp.asarray(rng.standard_normal(s, dtype=np.float32) * sc)
+    args = (mk(n, t, din, sc=1.0), mk(din, d), mk(din, d), mk(din, d),
+            mk(d, a), mk(a), mk(a, 1))
+    mask = jnp.asarray((rng.random((n, t, d)) < keep).astype(np.float32))
+
+    def ref_masked(x, wq, wk, wv, w_att, b_att, q_att):
+        qh = jnp.einsum("ntd,df->ntf", x, wq).reshape(n, t, heads, head_dim)
+        kh = jnp.einsum("ntd,df->ntf", x, wk).reshape(n, t, heads, head_dim)
+        vh = jnp.einsum("ntd,df->ntf", x, wv).reshape(n, t, heads, head_dim)
+        logits = jnp.einsum("nqhd,nkhd->nhqk", qh, kh) / np.sqrt(head_dim)
+        probs = jax.nn.softmax(logits, axis=-1)
+        o = jnp.einsum("nhqk,nkhd->nqhd", probs, vh).reshape(n, t, d)
+        o = o * mask / keep
+        att = (jnp.tanh(o @ w_att + b_att) @ q_att)[..., 0]
+        att = att - jnp.max(att, axis=-1, keepdims=True)
+        expo = jnp.exp(att)
+        w = expo / (jnp.sum(expo, axis=-1, keepdims=True) + 1e-8)
+        return jnp.einsum("ntd,nt->nd", o, w)
+
+    def loss_fused(*a_):
+        return jnp.sum(jnp.sin(news_encoder(*a_, mask, heads, 2, True, keep)))
+
+    def loss_ref(*a_):
+        return jnp.sum(jnp.sin(ref_masked(*a_)))
+
+    np.testing.assert_allclose(
+        np.asarray(news_encoder(*args, mask, heads, 2, True, keep)),
+        np.asarray(ref_masked(*args)), atol=3e-5,
+    )
     g1 = jax.grad(loss_fused, argnums=tuple(range(7)))(*args)
     g2 = jax.grad(loss_ref, argnums=tuple(range(7)))(*args)
     for a_, b_ in zip(g1, g2):
