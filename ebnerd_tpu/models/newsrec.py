@@ -102,18 +102,61 @@ class _DenseStack(nn.Module):
         return x
 
 
+class _SelfAttParams(nn.Module):
+    """Parameter container shaped exactly like ``SelfAttention``'s tree
+    (WQ/WK/WV [din, d]) so fused and unfused NRMS share checkpoints."""
+
+    din: int
+    d: int
+
+    def setup(self):
+        self.WQ = self.param("WQ", glorot(), (self.din, self.d), jnp.float32)
+        self.WK = self.param("WK", glorot(), (self.din, self.d), jnp.float32)
+        self.WV = self.param("WV", glorot(), (self.din, self.d), jnp.float32)
+
+    def __call__(self):  # params only; math lives in the pallas kernel
+        return self.WQ, self.WK, self.WV
+
+
+class _PoolParams(nn.Module):
+    """Parameter container matching ``AdditiveAttention`` (W/b/q)."""
+
+    din: int
+    dim: int
+
+    def setup(self):
+        self.W = self.param("W", glorot(), (self.din, self.dim), jnp.float32)
+        self.b = self.param("b", zeros, (self.dim,), jnp.float32)
+        self.q = self.param("q", glorot(), (self.dim, 1), jnp.float32)
+
+    def __call__(self):
+        return self.W, self.b, self.q
+
+
 class NRMS(nn.Module):
     """Neural News Recommendation with Multi-Head Self-Attention (Wu et al.,
-    EMNLP 2019). Reference: nrms.py:12-210."""
+    EMNLP 2019). Reference: nrms.py:12-210.
+
+    ``use_fused_encoder=True`` routes both encoders through the pallas
+    fused attention+pooling kernel (ops/news_encoder.py) — same math and
+    the same parameter tree; requires ``newsencoder_units_per_layer`` to
+    be empty.
+    """
 
     hparams: HParamsNRMS
     vocab_size: int = 32000
     word_emb_dim: int = 300
     word_emb_init: Optional[Callable] = None
     dtype: jnp.dtype = jnp.float32
+    use_fused_encoder: bool = False
+    fused_block_n: int = 16
+    fused_interpret: bool = False  # interpret-mode kernels (CPU tests)
 
     def setup(self):
         hp = self.hparams
+        d = hp.head_num * hp.head_dim
+        if self.use_fused_encoder and hp.newsencoder_units_per_layer:
+            raise ValueError("fused encoder does not support the dense stack")
         self.drop = nn.Dropout(hp.dropout)
         self.embedding = nn.Embed(
             self.vocab_size,
@@ -122,6 +165,12 @@ class NRMS(nn.Module):
             dtype=self.dtype,
             name="word_embedding",
         )
+        if self.use_fused_encoder:
+            self.news_self_att = _SelfAttParams(self.word_emb_dim, d)
+            self.news_pool = _PoolParams(d, hp.attention_hidden_dim)
+            self.user_self_att = _SelfAttParams(d, d)
+            self.user_pool = _PoolParams(d, hp.attention_hidden_dim)
+            return
         self.news_self_att = SelfAttention(hp.head_num, hp.head_dim, dtype=self.dtype)
         self.news_pool = AdditiveAttention(hp.attention_hidden_dim, dtype=self.dtype)
         if hp.newsencoder_units_per_layer:
@@ -131,12 +180,34 @@ class NRMS(nn.Module):
         self.user_self_att = SelfAttention(hp.head_num, hp.head_dim, dtype=self.dtype)
         self.user_pool = AdditiveAttention(hp.attention_hidden_dim, dtype=self.dtype)
 
+    def _fused(self, x: jnp.ndarray, att: "_SelfAttParams", pool: "_PoolParams",
+               train: bool, with_dropout: bool) -> jnp.ndarray:
+        from ..ops.news_encoder import news_encoder
+
+        hp = self.hparams
+        keep = 1.0 - hp.dropout if (train and with_dropout and hp.dropout > 0) else 1.0
+        d = hp.head_num * hp.head_dim
+        if keep < 1.0:
+            mask = jax.random.bernoulli(
+                self.make_rng("dropout"), keep, (x.shape[0], x.shape[1], d)
+            ).astype(jnp.float32)
+        else:
+            mask = jnp.ones((8, 128), jnp.float32)
+        wq, wk, wv = att()
+        w, b, q = pool()
+        return news_encoder(x.astype(jnp.float32), wq, wk, wv, w, b, q, mask,
+                            hp.head_num, self.fused_block_n,
+                            self.fused_interpret, keep).astype(self.dtype)
+
     def encode_news(self, tokens: jnp.ndarray, train: bool) -> jnp.ndarray:
         """tokens [N, T] -> news vectors [N, head_num*head_dim]
         (reference news encoder, nrms.py:116-159)."""
         hp = self.hparams
         x = self.embedding(tokens)
         x = self.drop(x, deterministic=not train)
+        if self.use_fused_encoder:
+            return self._fused(x, self.news_self_att, self.news_pool,
+                               train, with_dropout=True)
         x = self.news_self_att(x, x, x)
         if hp.newsencoder_units_per_layer:
             x = self.news_dense(x, train)
@@ -147,6 +218,9 @@ class NRMS(nn.Module):
     def encode_user(self, hist_vecs: jnp.ndarray, train: bool) -> jnp.ndarray:
         """hist_vecs [B, H, D] -> user vector [B, D]
         (reference user encoder, nrms.py:92-114)."""
+        if self.use_fused_encoder:
+            return self._fused(hist_vecs, self.user_self_att, self.user_pool,
+                               train, with_dropout=False)
         y = self.user_self_att(hist_vecs, hist_vecs, hist_vecs)
         return self.user_pool(y)
 
