@@ -87,6 +87,8 @@ def get_args(argv=None):
     p.add_argument("--dropout", type=float, default=0.2)
     p.add_argument("--loss", type=str, default="cross_entropy_loss")
     p.add_argument("--dtype", choices=("float32", "bfloat16"), default="float32")
+    p.add_argument("--use_fused_encoder", action="store_true",
+                   help="pallas fused attention+pooling kernels (nrms only)")
     # model dims
     p.add_argument("--head_num", type=int, default=None)
     p.add_argument("--head_dim", type=int, default=None)
@@ -166,7 +168,8 @@ def build_model(args, vocab_size, word_emb_dim, word2vec, n_users):
                 dropout=args.dropout, learning_rate=args.learning_rate,
                 loss=args.loss, attention_hidden_dim=args.attention_hidden_dim)
     if args.model == "nrms":
-        return NRMS(mcfg.HParamsNRMS(**base, **hd), **common)
+        return NRMS(mcfg.HParamsNRMS(**base, **hd), **common,
+                    use_fused_encoder=args.use_fused_encoder)
     if args.model == "nrms_docvec":
         hp = mcfg.HParamsNRMSDocVec(
             **{**base, "title_size": mcfg.DEFAULT_DOCUMENT_SIZE}, **hd
