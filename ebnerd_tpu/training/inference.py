@@ -34,7 +34,7 @@ def split_chunks(df: Table, n_chunks: int) -> list[Table]:
 
 
 def chunked_score(
-    trainer,
+    scorer,
     behaviors: Table,
     lookup: Lookup,
     history_size: int,
@@ -45,7 +45,8 @@ def chunked_score(
     max_candidates: Optional[int] = None,
     log=print,
 ) -> Table:
-    """Score ``behaviors`` in resumable chunks.
+    """Score ``behaviors`` in resumable chunks with any object exposing
+    ``score(feed) -> Ragged`` (Trainer or serving.TwoTowerScorer).
 
     Writes ``out_dir/pred_chunk_<i>.parquet`` with impression ids, ragged
     scores, and 1-based descending ranks; existing files are skipped
@@ -68,7 +69,7 @@ def chunked_score(
             chunk, lookup, history_size=history_size, batch_size=batch_size,
             user_mapping=user_mapping, max_candidates=max_candidates,
         )
-        scores: Ragged = trainer.score(feed)
+        scores: Ragged = scorer.score(feed)
         ranks = rank_ragged_scores(scores)
         out = Table({
             DEFAULT_IMPRESSION_ID_COL: np.asarray(chunk[DEFAULT_IMPRESSION_ID_COL]),

@@ -271,7 +271,17 @@ def main(argv=None):
     train_time = time.perf_counter() - t0
 
     # -- final eval ----------------------------------------------------------
-    scores = trainer.score(val_feed)
+    # two-tower scoring (precomputed article index) where the news encoder
+    # is user-independent; falls back to the full forward otherwise
+    scorer = trainer
+    if args.model != "npa":
+        from ebnerd_tpu.serving import ArticleIndex, TwoTowerScorer
+
+        variables = {"params": trainer.state.params}
+        if trainer.state.batch_stats:
+            variables["batch_stats"] = trainer.state.batch_stats
+        scorer = TwoTowerScorer(ArticleIndex(model, variables, tables))
+    scores = scorer.score(val_feed)
     ev = MetricEvaluator(
         labels=df_val[c.DEFAULT_LABELS_COL], predictions=scores,
         metric_functions=[AucScore(), MrrScore(), NdcgScore(5), NdcgScore(10)],
@@ -306,7 +316,7 @@ def main(argv=None):
         for name, part, n_chunks in splits:
             if len(part) == 0:
                 continue
-            chunked_score(trainer, part, lookup,
+            chunked_score(scorer, part, lookup,
                           history_size=args.history_size,
                           batch_size=args.bs_test, n_chunks=n_chunks,
                           out_dir=out_dir / f"test_chunks_{name}",
