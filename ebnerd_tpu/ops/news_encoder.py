@@ -178,18 +178,24 @@ def _bwd_kernel(x_ref, wq_ref, wk_ref, wv_ref, w_ref, b_ref, q_ref, mask_ref,
     k3 = k.reshape(nb, t, d)
     v3 = v.reshape(nb, t, d)
     scale = 1.0 / jnp.sqrt(jnp.asarray(head_dim, jnp.float32))
-    probs_h, o_parts = [], []
-    for h in range(num_heads):
+
+    def head_probs(h):
         sl = slice(h * head_dim, (h + 1) * head_dim)
         logits = jax.lax.dot_general(
             q3[:, :, sl], k3[:, :, sl], (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32) * scale
-        p = jax.nn.softmax(logits, axis=-1)
-        probs_h.append(p)
+        return jax.nn.softmax(logits, axis=-1)
+
+    # forward recompute: probs are NOT kept across heads (VMEM); they are
+    # recomputed again in the backward head loop below
+    o_parts = []
+    for h in range(num_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
         o_parts.append(jax.lax.dot_general(
-            p, v3[:, :, sl], (((2,), (1,)), ((0,), (0,))),
+            head_probs(h), v3[:, :, sl], (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32))
     o = jnp.concatenate(o_parts, axis=-1).reshape(nb * t, d)
+    del o_parts
     if keep_prob < 1.0:
         drop_scale = mask_ref[:].reshape(nb * t, d).astype(jnp.float32) / keep_prob
         o = o * drop_scale  # everything downstream sees the dropped values
@@ -221,12 +227,12 @@ def _bwd_kernel(x_ref, wq_ref, wk_ref, wv_ref, w_ref, b_ref, q_ref, mask_ref,
     if keep_prob < 1.0:
         do = do * drop_scale  # route the gradient back through the dropout
 
-    # ---- attention backward (per head) ----
+    # ---- attention backward (per head, probs recomputed) ----
     do3 = do.reshape(nb, t, d)
     dq_parts, dk_parts, dv_parts = [], [], []
     for h in range(num_heads):
         sl = slice(h * head_dim, (h + 1) * head_dim)
-        p = probs_h[h]
+        p = head_probs(h)
         doh = do3[:, :, sl]
         vh = v3[:, :, sl]
         dprobs = jax.lax.dot_general(doh, vh, (((2,), (2,)), ((0,), (0,))),
@@ -303,6 +309,9 @@ def _news_encoder_bwd(num_heads, block_n, interpret, keep_prob, residuals, g):
     d = wq.shape[1]
     a = w_att.shape[1]
     head_dim = d // num_heads
+    # the backward holds q/k/v + grads + weight-grad accumulators in VMEM;
+    # smaller article blocks than the forward keep it under the 16MB limit
+    block_n = min(block_n, 8)
     n_pad = -(-n // block_n) * block_n
     with_dropout = keep_prob < 1.0
     if with_dropout:
