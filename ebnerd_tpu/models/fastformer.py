@@ -122,7 +122,8 @@ class FastformerLayer(nn.Module):
         )
         inter = nn.gelu(
             nn.Dense(self.intermediate_dim, kernel_init=_normal(), bias_init=zeros,
-                     dtype=self.dtype)(att)
+                     dtype=self.dtype)(att),
+            approximate=False,  # BertIntermediate uses exact erf gelu
         )
         return _SelfOutput(d, self.dropout, dtype=self.dtype, name="ffn_out")(
             inter, att, train
