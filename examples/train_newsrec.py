@@ -257,10 +257,14 @@ def main(argv=None):
                         batch_size=args.bs_test, user_mapping=user_mapping)
     n_users = len(user_mapping) if user_mapping else 1
     model = build_model(args, vocab_size, word_emb_dim, word2vec, n_users)
+    # the reference attaches L2 kernel regularization to the docvec dense
+    # stack (nrms_docvec.py:110-116)
+    l2 = mcfg.HParamsNRMSDocVec().newsencoder_l2_regularization \
+        if args.model == "nrms_docvec" else 0.0
     trainer = Trainer(
         model, tables, builder_for(args.model),
         TrainerConfig(learning_rate=args.learning_rate, loss=args.loss,
-                      seed=args.seed),
+                      l2_regularization=l2, seed=args.seed),
     )
     (out_dir / "args.json").write_text(json.dumps(vars(args), indent=2, default=str))
 
