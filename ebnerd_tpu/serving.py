@@ -11,7 +11,9 @@ encoder + a dot (or Fastformer's concat-MLP).
 
 This is both the production serving path and a large eval-time
 optimization: validation/test scoring cost drops from
-O(sum_K * encoder) to O(V * encoder + sum_K * d).
+O(sum_K * encoder) to O(V * encoder + sum_K * d). ``Trainer.score``
+routes through the same pure functions (training/trainer.py) so the
+per-epoch val AUC uses the cheap path with one stable jit cache.
 """
 from __future__ import annotations
 
@@ -25,68 +27,125 @@ import numpy as np
 from .data.dataloader import EvalFeed
 from .data.ragged import Ragged
 
-__all__ = ["ArticleIndex", "TwoTowerScorer"]
+__all__ = [
+    "ArticleIndex",
+    "TwoTowerScorer",
+    "model_kind",
+    "encode_article_rows",
+    "two_tower_logits",
+]
 
 _USER_INDEPENDENT = {"nrms", "nrms_docvec", "nrmsdocvec", "lstur", "naml", "fastformer"}
 
 
-def _model_kind(model) -> str:
+def model_kind(model) -> Optional[str]:
+    """Two-tower dispatch key for ``model``, or None when its news encoder
+    is user-dependent (NPA's personalized word attention)."""
     name = type(model).__name__.lower()
-    if name not in _USER_INDEPENDENT:
+    return name if name in _USER_INDEPENDENT else None
+
+
+def _require_kind(model) -> str:
+    kind = model_kind(model)
+    if kind is None:
         raise ValueError(
             f"{type(model).__name__} has a user-dependent news encoder "
             "(personalized attention); two-tower serving does not apply."
         )
-    return name
+    return kind
+
+
+def encode_article_rows(model, variables, tables: dict, idx: jnp.ndarray) -> jnp.ndarray:
+    """Article tower: value-table rows ``idx`` -> article vectors [N, D].
+
+    Pure in (variables, tables, idx) so callers can jit it with stable
+    caches (weights traced, not baked in as constants)."""
+    kind = _require_kind(model)
+    m, v, t = model, variables, tables
+    if kind == "nrms":
+        return m.apply(v, t["title"][idx], False,
+                       method=lambda mdl, tok, tr: mdl.encode_news(tok, tr))
+    if kind in ("nrms_docvec", "nrmsdocvec"):
+        return m.apply(v, t["docvec"][idx], False,
+                       method=lambda mdl, x, tr: mdl.encode_news(x, tr))
+    if kind == "lstur":
+        return m.apply(v, t["title"][idx], False,
+                       method=lambda mdl, tok, tr: mdl.encode_news(tok, tr))
+    if kind == "naml":
+        return m.apply(
+            v, t["title"][idx], t["body"][idx], t["cat"][idx],
+            t["subcat"][idx], False,
+            method=lambda mdl, ti, bo, ca, su, tr: mdl.encode_news(
+                ti, bo, ca, su, tr),
+        )
+    if kind == "fastformer":
+        return m.apply(v, t["title"][idx], False,
+                       method=lambda mdl, tok, tr: mdl.encode_articles(tok, tr))
+    raise AssertionError(kind)
+
+
+def two_tower_logits(model, variables, art_vecs: jnp.ndarray, raw: dict) -> jnp.ndarray:
+    """User tower + scoring from precomputed article vectors.
+
+    ``raw`` is an EvalFeed/NewsrecFeed batch (hist_idx [B, H],
+    cand_idx [B, K], optional user_idx). Returns raw logits [B, K]
+    identical to the full forward pass."""
+    kind = _require_kind(model)
+    m, v = model, variables
+    hist_vecs = art_vecs[raw["hist_idx"]]
+    cand_vecs = art_vecs[raw["cand_idx"]]
+    if kind in ("nrms", "nrms_docvec", "nrmsdocvec"):
+        user = m.apply(v, hist_vecs, False,
+                       method=lambda mdl, h, tr: mdl.encode_user(h, tr))
+        return jnp.einsum("bkd,bd->bk", cand_vecs, user)
+    if kind == "lstur":
+        # row 0 is the unknown/padding article (all-zero tokens encode to
+        # exactly zero, lstur.py:113-144) — mask it out of the GRU
+        hist_mask = (raw["hist_idx"] != 0).astype(jnp.float32)
+        user = m.apply(
+            v, hist_vecs, hist_mask, raw["user_idx"], False,
+            method=lambda mdl, h, hm, u, tr: mdl.encode_user(h, hm, u, tr))
+        return jnp.einsum("bkd,bd->bk", cand_vecs, user)
+    if kind == "naml":
+        user = m.apply(v, hist_vecs, method=lambda mdl, h: mdl.user_pool(h))
+        return jnp.einsum("bkd,bd->bk", cand_vecs, user)
+    if kind == "fastformer":
+        hist_mask = (raw["hist_idx"] != 0).astype(jnp.float32)
+
+        def score_ff(mdl, h, hm, cand):
+            user = mdl.user_pool(h, mask=hm)
+            concat = jnp.concatenate(
+                [jnp.broadcast_to(user[:, None], cand.shape), cand], -1)
+            return mdl.output_layer(concat)[..., 0]
+
+        return m.apply(v, hist_vecs, hist_mask, cand_vecs, method=score_ff)
+    raise AssertionError(kind)
 
 
 class ArticleIndex:
     """Precomputed [V+1, D] article-vector table for one trained model."""
 
     def __init__(self, model, variables, tables: dict, batch_size: int = 4096):
-        self.kind = _model_kind(model)
+        self.kind = _require_kind(model)
         self.model = model
         self.variables = variables
         self.tables = {k: jnp.asarray(v) for k, v in tables.items()}
         self.batch_size = batch_size
         self.vectors: Optional[jnp.ndarray] = None
 
-    def _encode_rows(self, idx: jnp.ndarray) -> jnp.ndarray:
-        m, v, t = self.model, self.variables, self.tables
-        if self.kind == "nrms":
-            return m.apply(v, t["title"][idx], False,
-                           method=lambda mdl, tok, tr: mdl.encode_news(tok, tr))
-        if self.kind in ("nrms_docvec", "nrmsdocvec"):
-            return m.apply(v, t["docvec"][idx], False,
-                           method=lambda mdl, x, tr: mdl.encode_news(x, tr))
-        if self.kind == "lstur":
-            return m.apply(v, t["title"][idx], False,
-                           method=lambda mdl, tok, tr: mdl.encode_news(tok, tr))
-        if self.kind == "naml":
-            return m.apply(
-                v, t["title"][idx], t["body"][idx], t["cat"][idx],
-                t["subcat"][idx], False,
-                method=lambda mdl, ti, bo, ca, su, tr: mdl.encode_news(
-                    ti, bo, ca, su, tr),
-            )
-        if self.kind == "fastformer":
-            return m.apply(v, t["title"][idx], False,
-                           method=lambda mdl, tok, tr: mdl.encode_articles(tok, tr))
-        raise AssertionError(self.kind)
-
     def build(self) -> jnp.ndarray:
         """Encode the whole corpus in fixed-size chunks (one compile)."""
         some = next(iter(self.tables.values()))
         n_rows = some.shape[0]
         bs = min(self.batch_size, n_rows)
-        encode = jax.jit(self._encode_rows)
+        encode = jax.jit(partial(encode_article_rows, self.model))
         chunks = []
         for start in range(0, n_rows, bs):
             idx = jnp.arange(start, min(start + bs, n_rows))
             if idx.shape[0] < bs:  # pad to keep one compiled program
                 idx = jnp.concatenate(
                     [idx, jnp.zeros(bs - idx.shape[0], idx.dtype)])
-            chunks.append(encode(idx))
+            chunks.append(encode(self.variables, self.tables, idx))
         self.vectors = jnp.concatenate(chunks, axis=0)[:n_rows]
         return self.vectors
 
@@ -99,46 +158,20 @@ class TwoTowerScorer:
         if index.vectors is None:
             index.build()
         self.index = index
-
-    @partial(jax.jit, static_argnums=0)
-    def _score(self, art_vecs, raw: dict) -> jnp.ndarray:
-        idx, m, v = self.index, self.index.model, self.index.variables
-        hist_vecs = art_vecs[raw["hist_idx"]]
-        cand_vecs = art_vecs[raw["cand_idx"]]
-        kind = idx.kind
-        if kind in ("nrms", "nrms_docvec", "nrmsdocvec"):
-            user = m.apply(v, hist_vecs, False,
-                           method=lambda mdl, h, tr: mdl.encode_user(h, tr))
-            logits = jnp.einsum("bkd,bd->bk", cand_vecs, user)
-        elif kind == "lstur":
-            hist_mask = (raw["hist_idx"] != 0).astype(jnp.float32)
-            user = m.apply(
-                v, hist_vecs, hist_mask, raw["user_idx"], False,
-                method=lambda mdl, h, hm, u, tr: mdl.encode_user(h, hm, u, tr))
-            logits = jnp.einsum("bkd,bd->bk", cand_vecs, user)
-        elif kind == "naml":
-            user = m.apply(v, hist_vecs,
-                           method=lambda mdl, h: mdl.user_pool(h))
-            logits = jnp.einsum("bkd,bd->bk", cand_vecs, user)
-        elif kind == "fastformer":
-            hist_mask = (raw["hist_idx"] != 0).astype(jnp.float32)
-            def score_ff(mdl, h, hm, cand):
-                user = mdl.user_pool(h, mask=hm)
-                concat = jnp.concatenate(
-                    [jnp.broadcast_to(user[:, None], cand.shape), cand], -1)
-                return mdl.output_layer(concat)[..., 0]
-            logits = m.apply(v, hist_vecs, hist_mask, cand_vecs, method=score_ff)
-        else:
-            raise AssertionError(kind)
-        return jax.nn.sigmoid(logits)
+        self._score = jax.jit(
+            lambda variables, art_vecs, raw: jax.nn.sigmoid(
+                two_tower_logits(index.model, variables, art_vecs, raw))
+        )
 
     def score(self, feed: EvalFeed) -> Ragged:
         out = np.zeros((feed.n_rows, feed.width), np.float32)
         row = 0
         for raw in feed.batches():
             n_valid = raw.pop("n_valid")
-            scores = np.asarray(self._score(self.index.vectors,
-                                            {k: jnp.asarray(x) for k, x in raw.items()}))
+            raw.pop("cand_mask", None)
+            scores = np.asarray(self._score(
+                self.index.variables, self.index.vectors,
+                {k: jnp.asarray(x) for k, x in raw.items()}))
             out[row:row + n_valid] = scores[:n_valid]
             row += n_valid
         return feed.unpad(out)

@@ -33,6 +33,7 @@ from ..data.ragged import Ragged
 from ..evaluation.ranking import per_impression_auc
 from ..models.inputs import BatchBuilder
 from ..parallel.mesh import data_sharding, replicated, shard_batch
+from ..serving import encode_article_rows, model_kind, two_tower_logits
 from .losses import l2_penalty, loss_fn_for
 
 __all__ = ["TrainState", "Trainer", "TrainerConfig"]
@@ -74,6 +75,11 @@ class TrainerConfig:
     # gradient accumulation: apply the optimizer every N micro-batches
     # (reference: fastformer/dataloader.py:198-204)
     accumulation_steps: int = 1
+    # eval path: "auto" scores via the two-tower article index whenever the
+    # model's news encoder is user-independent (serving.py) — encode the
+    # corpus once per eval instead of per impression. True forces it
+    # (errors on NPA), False always uses the full forward pass.
+    two_tower_eval: Any = "auto"
 
 
 class Trainer:
@@ -200,13 +206,26 @@ class Trainer:
             loss,
         )
 
-    @partial(jax.jit, static_argnums=0)
-    def _score_step(self, state: TrainState, raw: dict) -> jnp.ndarray:
-        batch = self.builder(self.tables, raw)
+    @staticmethod
+    def _variables(state: TrainState) -> dict:
         variables = {"params": state.params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
-        logits = self.model.apply(variables, batch, train=False)
+        return variables
+
+    @partial(jax.jit, static_argnums=0)
+    def _score_step(self, state: TrainState, raw: dict) -> jnp.ndarray:
+        batch = self.builder(self.tables, raw)
+        logits = self.model.apply(self._variables(state), batch, train=False)
+        return jax.nn.sigmoid(logits)
+
+    @partial(jax.jit, static_argnums=0)
+    def _encode_articles_step(self, state: TrainState, idx: jnp.ndarray) -> jnp.ndarray:
+        return encode_article_rows(self.model, self._variables(state), self.tables, idx)
+
+    @partial(jax.jit, static_argnums=0)
+    def _two_tower_step(self, state: TrainState, art_vecs: jnp.ndarray, raw: dict) -> jnp.ndarray:
+        logits = two_tower_logits(self.model, self._variables(state), art_vecs, raw)
         return jax.nn.sigmoid(logits)
 
     # -- loops ------------------------------------------------------------
@@ -287,17 +306,51 @@ class Trainer:
             self.state = self.state.replace(params=best_params, batch_stats=best_stats)
         return self.history
 
-    def score(self, feed: EvalFeed) -> Ragged:
+    def score(self, feed: EvalFeed, two_tower=None) -> Ragged:
         """Masked batched scoring over ragged impressions; returns a ragged
         score column aligned with the inview lists (the reference explodes
-        to single-candidate scorer calls instead, dataloader.py:94-107)."""
+        to single-candidate scorer calls instead, dataloader.py:94-107).
+
+        With ``two_tower`` (default: ``config.two_tower_eval``), the corpus
+        is encoded ONCE through the article tower and impressions are
+        scored by the cheap user tower — numerically identical logits,
+        O(V·encoder + ΣK·d) instead of O(ΣK·encoder)."""
         if self.state is None:
             raise RuntimeError("call fit() or init_state() first")
+        if two_tower is None:
+            two_tower = self.config.two_tower_eval
+        supported = model_kind(self.model) is not None
+        if two_tower is True and not supported:
+            raise ValueError(
+                f"{type(self.model).__name__} does not support two-tower scoring")
+        use_tt = supported if two_tower == "auto" else bool(two_tower)
+        if use_tt:
+            return self._score_two_tower(feed)
         out = np.zeros((feed.n_rows, feed.width), np.float32)
         row = 0
         for raw in feed.batches():
             n_valid = raw["n_valid"]
             scores = np.asarray(self._score_step(self.state, self._put(raw)))
+            out[row : row + n_valid] = scores[:n_valid]
+            row += n_valid
+        return feed.unpad(out)
+
+    def _score_two_tower(self, feed: EvalFeed) -> Ragged:
+        n_rows = next(iter(self.tables.values())).shape[0]
+        bs = min(4096, n_rows)
+        chunks = []
+        for start in range(0, n_rows, bs):
+            idx = np.arange(start, min(start + bs, n_rows), dtype=np.int32)
+            if idx.shape[0] < bs:  # pad to keep one compiled program
+                idx = np.concatenate([idx, np.zeros(bs - idx.shape[0], np.int32)])
+            chunks.append(self._encode_articles_step(self.state, jnp.asarray(idx)))
+        art_vecs = jnp.concatenate(chunks, axis=0)[:n_rows]
+        out = np.zeros((feed.n_rows, feed.width), np.float32)
+        row = 0
+        for raw in feed.batches():
+            n_valid = raw["n_valid"]
+            raw = {k: v for k, v in raw.items() if k not in ("n_valid", "cand_mask")}
+            scores = np.asarray(self._two_tower_step(self.state, art_vecs, raw))
             out[row : row + n_valid] = scores[:n_valid]
             row += n_valid
         return feed.unpad(out)
