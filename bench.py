@@ -64,10 +64,11 @@ def main() -> None:
     dtype = jnp.float32 if os.environ.get("BENCH_DTYPE") == "float32" else jnp.bfloat16
 
     fused = os.environ.get("BENCH_FUSED") == "1"
+    fused_block = int(os.environ.get("BENCH_FUSED_BLOCK", "8"))
 
     hp = HParamsNRMS()  # title 30, hist 20, 20x20 heads, attn 200
     model = NRMS(hp, vocab_size=VOCAB, word_emb_dim=EMB, dtype=dtype,
-                 use_fused_encoder=fused, fused_block_n=32)
+                 use_fused_encoder=fused, fused_block_n=fused_block)
     rng = np.random.default_rng(0)
     table = rng.integers(0, VOCAB, size=(N_ARTICLES + 1, TITLE)).astype(np.int32)
     trainer = Trainer(

@@ -18,6 +18,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
+from .. import native
 from .ragged import Ragged
 
 __all__ = ["Lookup", "create_lookup_objects"]
@@ -60,6 +61,11 @@ class Lookup:
     def map_ids(self, ids: np.ndarray) -> np.ndarray:
         """Vectorized id -> row index; unknown ids -> 0."""
         ids = np.asarray(ids)
+        if (self.ids.dtype.kind in "iu" and ids.dtype.kind in "iu"
+                and self.ids.dtype != np.uint64 and ids.dtype != np.uint64):
+            res = native.map_ids(self.ids, ids.reshape(-1))
+            if res is not None:
+                return res.reshape(ids.shape)
         pos = np.searchsorted(self.ids, ids)
         pos_c = np.minimum(pos, len(self.ids) - 1)
         found = self.ids[pos_c] == ids

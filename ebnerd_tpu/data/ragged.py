@@ -19,7 +19,20 @@ from typing import Iterable, Sequence
 
 import numpy as np
 
+from .. import native
+
 __all__ = ["Ragged"]
+
+
+def _gather_ranges(values: np.ndarray, starts: np.ndarray,
+                   lengths: np.ndarray, total: int) -> np.ndarray:
+    """values[starts[i] : starts[i]+lengths[i]] concatenated — native C++
+    single pass when available (native/ragged_kernels.cc), numpy
+    prefix-sum fallback otherwise; outputs are identical."""
+    out = native.gather_ranges(values, starts, lengths, total)
+    if out is not None:
+        return out
+    return values[_ranges(starts, lengths, total)]
 
 
 @dataclass(frozen=True)
@@ -98,8 +111,8 @@ class Ragged:
         total = int(out_offsets[-1])
         if total == 0:
             return Ragged(self.values[:0], out_offsets)
-        idx = _ranges(self.offsets[indices], lengths, total)
-        return Ragged(self.values[idx], out_offsets)
+        vals = _gather_ranges(self.values, self.offsets[indices], lengths, total)
+        return Ragged(vals, out_offsets)
 
     def tail(self, n: int) -> "Ragged":
         """Keep the last ``n`` values of every row (reference semantics of
@@ -109,8 +122,8 @@ class Ragged:
         starts = self.offsets[1:] - keep
         out_offsets = np.zeros(len(self) + 1, dtype=np.int64)
         np.cumsum(keep, out=out_offsets[1:])
-        idx = _ranges(starts, keep, int(out_offsets[-1]))
-        return Ragged(self.values[idx], out_offsets)
+        vals = _gather_ranges(self.values, starts, keep, int(out_offsets[-1]))
+        return Ragged(vals, out_offsets)
 
     def to_padded(self, width: int, pad_value=0, align: str = "right") -> tuple[np.ndarray, np.ndarray]:
         """Densify into a [n, width] matrix plus a boolean validity mask.
@@ -122,6 +135,12 @@ class Ragged:
         Rows longer than ``width`` keep their tail (right) / head (left).
         """
         n = len(self)
+        if (self.values.dtype == np.int32 and align in ("right", "left")
+                and _fits_int32(pad_value)):
+            res = native.to_padded(self.values, self.offsets, width,
+                                   pad_value, align == "right")
+            if res is not None:
+                return res
         lengths = np.minimum(self.lengths, width)
         out = np.full((n, width), pad_value, dtype=self.values.dtype)
         mask = np.zeros((n, width), dtype=bool)
@@ -146,6 +165,11 @@ class Ragged:
         """
         if len(self) != len(other):
             raise ValueError("row counts differ")
+        if self.values.dtype.kind in "iu" and other.values.dtype.kind in "iu":
+            res = native.isin_per_row(self.values, self.offsets,
+                                      other.values, other.offsets)
+            if res is not None:
+                return res
         self_keys = _row_scoped_keys(self.row_ids(), self.values)
         other_keys = _row_scoped_keys(other.row_ids(), other.values)
         return np.isin(self_keys, other_keys)
@@ -186,6 +210,13 @@ class Ragged:
         keys = self.row_ids().astype(np.float64) * 2.0 + rng.random(self.total)
         perm = np.argsort(keys, kind="stable")
         return Ragged(self.values[perm], self.offsets.copy()), perm
+
+
+def _fits_int32(pad_value) -> bool:
+    try:
+        return bool(np.int32(pad_value) == pad_value)
+    except (OverflowError, ValueError, TypeError):
+        return False
 
 
 def _ranges(starts: np.ndarray, lengths: np.ndarray, total: int) -> np.ndarray:

@@ -24,8 +24,11 @@ import optax
 from ebnerd_tpu.models.config import HParamsNRMS
 from ebnerd_tpu.models.newsrec import NRMS
 
-BS, H, T, K = 256, 20, 30, 5
-STEPS, WARMUP = 10, 3
+import os
+
+BS, H, T, K = int(os.environ.get("ABL_BS", "256")), 20, 30, 5
+STEPS, WARMUP = int(os.environ.get("ABL_STEPS", "10")), 3
+DTYPE = os.environ.get("ABL_DTYPE", "float32")  # float32 | bfloat16
 
 
 def make_setup(vocab, emb, dtype):
@@ -130,7 +133,7 @@ def run(which, vocab=250_002, emb=1_024, dtype=jnp.float32, tag=""):
 if __name__ == "__main__":
     which = set(sys.argv[1:]) or {"fwd", "grad", "grad_frozen_emb", "full"}
     print(f"bs={BS} hist={H} title={T} K={K}, device={jax.devices()[0]}")
-    run(which)
+    run(which, dtype=getattr(jnp, DTYPE))
     if "small" in which or not sys.argv[1:]:
         run({"full"}, vocab=32_000, emb=300, tag=" (vocab 32k, emb 300)")
         run({"full"}, dtype=jnp.bfloat16, tag=" (bf16)")
