@@ -89,6 +89,9 @@ def get_args(argv=None):
     p.add_argument("--dtype", choices=("float32", "bfloat16"), default="float32")
     p.add_argument("--use_fused_encoder", action="store_true",
                    help="pallas fused attention+pooling kernels (nrms only)")
+    p.add_argument("--no_two_tower_eval", action="store_true",
+                   help="score val/test with the full forward pass instead "
+                        "of the precomputed article index (serving.py)")
     # model dims
     p.add_argument("--head_num", type=int, default=None)
     p.add_argument("--head_dim", type=int, default=None)
@@ -264,7 +267,8 @@ def main(argv=None):
     trainer = Trainer(
         model, tables, builder_for(args.model),
         TrainerConfig(learning_rate=args.learning_rate, loss=args.loss,
-                      l2_regularization=l2, seed=args.seed),
+                      l2_regularization=l2, seed=args.seed,
+                      two_tower_eval=False if args.no_two_tower_eval else "auto"),
     )
     (out_dir / "args.json").write_text(json.dumps(vars(args), indent=2, default=str))
 
@@ -275,16 +279,10 @@ def main(argv=None):
     train_time = time.perf_counter() - t0
 
     # -- final eval ----------------------------------------------------------
-    # two-tower scoring (precomputed article index) where the news encoder
-    # is user-independent; falls back to the full forward otherwise
+    # Trainer.score routes through the two-tower article index whenever the
+    # news encoder is user-independent (serving.py); NPA and
+    # --no_two_tower_eval use the full forward pass
     scorer = trainer
-    if args.model != "npa":
-        from ebnerd_tpu.serving import ArticleIndex, TwoTowerScorer
-
-        variables = {"params": trainer.state.params}
-        if trainer.state.batch_stats:
-            variables["batch_stats"] = trainer.state.batch_stats
-        scorer = TwoTowerScorer(ArticleIndex(model, variables, tables))
     scores = scorer.score(val_feed)
     ev = MetricEvaluator(
         labels=df_val[c.DEFAULT_LABELS_COL], predictions=scores,
