@@ -196,12 +196,13 @@ class Fastformer(nn.Module):
         cand_tokens = batch["cand_tokens"]
         b, h = hist_tokens.shape[:2]
         k = cand_tokens.shape[1]
-        hist_vecs = self.encode_articles(
-            hist_tokens.reshape(b * h, -1), train
-        ).reshape(b, h, -1)
-        cand_vecs = self.encode_articles(
-            cand_tokens.reshape(b * k, -1), train
-        ).reshape(b, k, -1)
+        # one encoder invocation over history+candidates (one large matmul
+        # per layer instead of two dispatches)
+        both = jnp.concatenate(
+            [hist_tokens.reshape(b * h, -1), cand_tokens.reshape(b * k, -1)])
+        vecs = self.encode_articles(both, train)
+        hist_vecs = vecs[: b * h].reshape(b, h, -1)
+        cand_vecs = vecs[b * h :].reshape(b, k, -1)
         hist_mask = (hist_tokens != 0).any(-1).astype(self.dtype)
         user = self.user_pool(hist_vecs, mask=hist_mask)        # [B, D]
         concat = jnp.concatenate(

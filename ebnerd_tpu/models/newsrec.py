@@ -81,6 +81,19 @@ def _dot_scores(news: jnp.ndarray, user: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("bkd,bd->bk", news, user)
 
 
+def _encode_both(encode, hist: jnp.ndarray, cand: jnp.ndarray):
+    """Run ONE encoder invocation over history and candidate articles
+    concatenated along the article axis, then split. Same math as two
+    calls, but a single large MXU matmul / one pallas grid instead of two
+    dispatches (TimeDistributed in the reference runs per input tensor)."""
+    (b, h), (_, k) = hist.shape[:2], cand.shape[:2]
+    both = jnp.concatenate(
+        [hist.reshape(b * h, *hist.shape[2:]), cand.reshape(b * k, *cand.shape[2:])]
+    )
+    vecs = encode(both)
+    return vecs[: b * h].reshape(b, h, -1), vecs[b * h :].reshape(b, k, -1)
+
+
 class _DenseStack(nn.Module):
     """relu Dense -> BatchNorm -> Dropout blocks (the reference's optional
     ``units_per_layer`` stack, nrms.py:141-155 / nrms_docvec.py:99-130).
@@ -195,9 +208,15 @@ class NRMS(nn.Module):
             mask = jnp.ones((8, 128), jnp.float32)
         wq, wk, wv = att()
         w, b, q = pool()
-        return news_encoder(x.astype(jnp.float32), wq, wk, wv, w, b, q, mask,
+        # bf16 models keep x in bf16 (half the kernel's HBM read) and run
+        # the matmuls at the MXU's native bf16 rate with fp32 accumulation;
+        # fp32 models keep full fp32 numerics
+        compute = "bfloat16" if self.dtype == jnp.bfloat16 else "float32"
+        x_in = x if compute == "bfloat16" else x.astype(jnp.float32)
+        return news_encoder(x_in, wq, wk, wv, w, b, q, mask,
                             hp.head_num, self.fused_block_n,
-                            self.fused_interpret, keep).astype(self.dtype)
+                            self.fused_interpret, keep,
+                            compute).astype(self.dtype)
 
     def encode_news(self, tokens: jnp.ndarray, train: bool) -> jnp.ndarray:
         """tokens [N, T] -> news vectors [N, head_num*head_dim]
@@ -225,10 +244,9 @@ class NRMS(nn.Module):
         return self.user_pool(y)
 
     def __call__(self, batch: dict, train: bool = False) -> jnp.ndarray:
-        hist, (b, h) = _flatten_articles(batch["hist_tokens"])
-        cand, (_, k) = _flatten_articles(batch["cand_tokens"])
-        hist_vecs = self.encode_news(hist, train).reshape(b, h, -1)
-        cand_vecs = self.encode_news(cand, train).reshape(b, k, -1)
+        hist_vecs, cand_vecs = _encode_both(
+            lambda x: self.encode_news(x, train),
+            batch["hist_tokens"], batch["cand_tokens"])
         user = self.encode_user(hist_vecs, train)
         return _dot_scores(cand_vecs, user)
 
@@ -264,10 +282,9 @@ class NRMSDocVec(nn.Module):
         return self.user_pool(y)
 
     def __call__(self, batch: dict, train: bool = False) -> jnp.ndarray:
-        hist, (b, h) = _flatten_articles(batch["hist_vecs"])
-        cand, (_, k) = _flatten_articles(batch["cand_vecs"])
-        hist_vecs = self.encode_news(hist, train).reshape(b, h, -1)
-        cand_vecs = self.encode_news(cand, train).reshape(b, k, -1)
+        hist_vecs, cand_vecs = _encode_both(
+            lambda x: self.encode_news(x, train),
+            batch["hist_vecs"], batch["cand_vecs"])
         user = self.encode_user(hist_vecs, train)
         return _dot_scores(cand_vecs, user)
 
@@ -332,10 +349,9 @@ class LSTUR(nn.Module):
         raise ValueError(f"unknown LSTUR type: {hp.type}")
 
     def __call__(self, batch: dict, train: bool = False) -> jnp.ndarray:
-        hist, (b, h) = _flatten_articles(batch["hist_tokens"])
-        cand, (_, k) = _flatten_articles(batch["cand_tokens"])
-        hist_vecs = self.encode_news(hist, train).reshape(b, h, -1)
-        cand_vecs = self.encode_news(cand, train).reshape(b, k, -1)
+        hist_vecs, cand_vecs = _encode_both(
+            lambda x: self.encode_news(x, train),
+            batch["hist_tokens"], batch["cand_tokens"])
         hist_mask = (batch["hist_tokens"] != 0).any(-1).astype(self.dtype)
         user = self.encode_user(hist_vecs, hist_mask, batch["user_id"], train)
         return _dot_scores(cand_vecs, user)
@@ -390,10 +406,14 @@ class NPA(nn.Module):
         u_emb = self.user_embedding(batch["user_id"]).astype(self.dtype)  # [B, U]
         hist, (b, h) = _flatten_articles(batch["hist_tokens"])
         cand, (_, k) = _flatten_articles(batch["cand_tokens"])
-        hist_u = jnp.repeat(u_emb, h, axis=0)
-        cand_u = jnp.repeat(u_emb, k, axis=0)
-        hist_vecs = self.encode_news(hist, hist_u, train).reshape(b, h, -1)
-        cand_vecs = self.encode_news(cand, cand_u, train).reshape(b, k, -1)
+        # one encoder invocation over history+candidates (user embedding
+        # repeated to match each article slot)
+        both = jnp.concatenate([hist, cand])
+        both_u = jnp.concatenate(
+            [jnp.repeat(u_emb, h, axis=0), jnp.repeat(u_emb, k, axis=0)])
+        vecs = self.encode_news(both, both_u, train)
+        hist_vecs = vecs[: b * h].reshape(b, h, -1)
+        cand_vecs = vecs[b * h :].reshape(b, k, -1)
         user = self.news_pool(hist_vecs, self.news_query(u_emb), train)
         return _dot_scores(cand_vecs, user)
 
@@ -448,15 +468,20 @@ class NAML(nn.Module):
         views = jnp.stack([title_r, body_r, vert_r, subvert_r], axis=-2)  # [N, 4, F]
         return self.view_pool(views)
 
-    def _encode_side(self, batch, side, train):
-        title, (b, l) = _flatten_articles(batch[f"{side}_tokens"])
-        body, _ = _flatten_articles(batch[f"{side}_body"])
-        vert = batch[f"{side}_cat"].reshape(-1)
-        subvert = batch[f"{side}_subcat"].reshape(-1)
-        return self.encode_news(title, body, vert, subvert, train).reshape(b, l, -1)
-
     def __call__(self, batch: dict, train: bool = False) -> jnp.ndarray:
-        hist_vecs = self._encode_side(batch, "hist", train)
-        cand_vecs = self._encode_side(batch, "cand", train)
+        # one encoder invocation over history+candidates for all four views
+        (b, h) = batch["hist_tokens"].shape[:2]
+        k = batch["cand_tokens"].shape[1]
+
+        def both(name):
+            x = batch[f"hist_{name}"]
+            y = batch[f"cand_{name}"]
+            return jnp.concatenate(
+                [x.reshape(b * h, *x.shape[2:]), y.reshape(b * k, *y.shape[2:])])
+
+        vecs = self.encode_news(both("tokens"), both("body"),
+                                both("cat"), both("subcat"), train)
+        hist_vecs = vecs[: b * h].reshape(b, h, -1)
+        cand_vecs = vecs[b * h :].reshape(b, k, -1)
         user = self.user_pool(hist_vecs)
         return _dot_scores(cand_vecs, user)

@@ -30,7 +30,20 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["fused_news_encoder", "news_encoder", "news_encoder_reference"]
 
 
-def _mhsa(q3, k3, v3, num_heads, head_dim):
+def _cdot(a, b, dims, cdt):
+    """dot_general with operands cast to the compute dtype (bf16 on the
+    MXU's native path) and fp32 accumulation."""
+    return jax.lax.dot_general(a.astype(cdt), b.astype(cdt), (dims, ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _bdot(a, b, dims, bdims, cdt):
+    """Batched variant of _cdot."""
+    return jax.lax.dot_general(a.astype(cdt), b.astype(cdt), (dims, bdims),
+                               preferred_element_type=jnp.float32)
+
+
+def _mhsa(q3, k3, v3, num_heads, head_dim, cdt):
     """Per-head attention via lane slices + 3D batched dot_general.
 
     NB: Mosaic (as deployed here) rejects 4D transposes like
@@ -42,36 +55,30 @@ def _mhsa(q3, k3, v3, num_heads, head_dim):
     for h in range(num_heads):
         sl = slice(h * head_dim, (h + 1) * head_dim)
         qh, kh, vh = q3[:, :, sl], k3[:, :, sl], v3[:, :, sl]
-        logits = jax.lax.dot_general(
-            qh, kh, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ) * scale                                        # [nb, t, t]
+        logits = _bdot(qh, kh, ((2,), (2,)), ((0,), (0,)), cdt) * scale  # [nb, t, t]
         probs = jax.nn.softmax(logits, axis=-1)
-        parts.append(jax.lax.dot_general(
-            probs, vh, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ))                                               # [nb, t, dh]
+        parts.append(_bdot(probs, vh, ((2,), (1,)), ((0,), (0,)), cdt))  # [nb, t, dh]
     return jnp.concatenate(parts, axis=-1)               # [nb, t, d]
 
 
 def _kernel(x_ref, wq_ref, wk_ref, wv_ref, w_ref, b_ref, q_ref, mask_ref,
-            out_ref, *, num_heads: int, head_dim: int, keep_prob: float):
+            out_ref, *, num_heads: int, head_dim: int, keep_prob: float,
+            cdt: jnp.dtype):
     nb, t, din = x_ref.shape
     d = num_heads * head_dim
     x = x_ref[:].reshape(nb * t, din)
-    q = jnp.dot(x, wq_ref[:], preferred_element_type=jnp.float32)
-    k = jnp.dot(x, wk_ref[:], preferred_element_type=jnp.float32)
-    v = jnp.dot(x, wv_ref[:], preferred_element_type=jnp.float32)
+    q = _cdot(x, wq_ref[:], ((1,), (0,)), cdt)
+    k = _cdot(x, wk_ref[:], ((1,), (0,)), cdt)
+    v = _cdot(x, wv_ref[:], ((1,), (0,)), cdt)
     o = _mhsa(q.reshape(nb, t, d), k.reshape(nb, t, d), v.reshape(nb, t, d),
-              num_heads, head_dim).reshape(nb * t, d)
+              num_heads, head_dim, cdt).reshape(nb * t, d)
     if keep_prob < 1.0:
         # inverted dropout between attention and pooling (the reference's
         # training-mode Dropout, nrms.py:154)
         o = o * mask_ref[:].reshape(nb * t, d).astype(jnp.float32) / keep_prob
     # additive attention pooling over t
-    att = jnp.tanh(jnp.dot(o, w_ref[:], preferred_element_type=jnp.float32)
-                   + b_ref[:])
-    att = jnp.dot(att, q_ref[:], preferred_element_type=jnp.float32)  # [nb*t, 1]
+    att = jnp.tanh(_cdot(o, w_ref[:], ((1,), (0,)), cdt) + b_ref[:])
+    att = _cdot(att, q_ref[:], ((1,), (0,)), cdt)         # [nb*t, 1]
     att = att.reshape(nb, t)
     att = att - jnp.max(att, axis=-1, keepdims=True)
     expo = jnp.exp(att)
@@ -84,7 +91,8 @@ def _kernel(x_ref, wq_ref, wk_ref, wv_ref, w_ref, b_ref, q_ref, mask_ref,
     out_ref[:] = pooled.reshape(nb, d)
 
 
-@partial(jax.jit, static_argnames=("num_heads", "block_n", "interpret", "keep_prob"))
+@partial(jax.jit, static_argnames=("num_heads", "block_n", "interpret",
+                                   "keep_prob", "compute_dtype"))
 def fused_news_encoder(
     x: jnp.ndarray,
     wq: jnp.ndarray,
@@ -99,12 +107,16 @@ def fused_news_encoder(
     interpret: bool = False,
     drop_mask: jnp.ndarray | None = None,
     keep_prob: float = 1.0,
+    compute_dtype: str = "float32",
 ) -> jnp.ndarray:
-    """x [N, T, Din] fp32, projections [Din, D], pooling params
-    ([D, A], [A], [A, 1]) -> pooled article vectors [N, D].
+    """x [N, T, Din] (fp32 or bf16), projections [Din, D], pooling params
+    ([D, A], [A], [A, 1]) -> pooled article vectors [N, D] fp32.
 
     ``drop_mask`` [N, T, D] bool + ``keep_prob`` apply the reference's
     training-mode dropout between attention and pooling.
+    ``compute_dtype="bfloat16"`` runs every matmul with bf16 operands and
+    fp32 accumulation — the MXU's native rate — matching the numerics of
+    the unfused bf16 path (flax modules with dtype=bfloat16).
     N is padded to a multiple of ``block_n`` internally.
     """
     n, t, din = x.shape
@@ -131,7 +143,7 @@ def fused_news_encoder(
     grid = (n_pad // block_n,)
     out = pl.pallas_call(
         partial(_kernel, num_heads=num_heads, head_dim=head_dim,
-                keep_prob=float(keep_prob)),
+                keep_prob=float(keep_prob), cdt=jnp.dtype(compute_dtype)),
         out_shape=jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
         grid=grid,
         in_specs=[
@@ -158,7 +170,8 @@ def fused_news_encoder(
 def _bwd_kernel(x_ref, wq_ref, wk_ref, wv_ref, w_ref, b_ref, q_ref, mask_ref,
                 g_ref,
                 dx_ref, dwq_ref, dwk_ref, dwv_ref, dw_ref, db_ref, dq_ref,
-                *, num_heads: int, head_dim: int, keep_prob: float):
+                *, num_heads: int, head_dim: int, keep_prob: float,
+                cdt: jnp.dtype):
     """Recompute-forward backward pass for one article block; weight grads
     accumulate across sequential grid steps into revisited output blocks."""
     nb, t, din = x_ref.shape
@@ -171,9 +184,9 @@ def _bwd_kernel(x_ref, wq_ref, wk_ref, wv_ref, w_ref, b_ref, q_ref, mask_ref,
     g = g_ref[:]                                           # [nb, d]
 
     # ---- recompute forward (per-head lane slices; see _mhsa note) ----
-    q = jnp.dot(x, wq_w, preferred_element_type=jnp.float32)
-    k = jnp.dot(x, wk_w, preferred_element_type=jnp.float32)
-    v = jnp.dot(x, wv_w, preferred_element_type=jnp.float32)
+    q = _cdot(x, wq_w, ((1,), (0,)), cdt)
+    k = _cdot(x, wk_w, ((1,), (0,)), cdt)
+    v = _cdot(x, wv_w, ((1,), (0,)), cdt)
     q3 = q.reshape(nb, t, d)
     k3 = k.reshape(nb, t, d)
     v3 = v.reshape(nb, t, d)
@@ -181,9 +194,8 @@ def _bwd_kernel(x_ref, wq_ref, wk_ref, wv_ref, w_ref, b_ref, q_ref, mask_ref,
 
     def head_probs(h):
         sl = slice(h * head_dim, (h + 1) * head_dim)
-        logits = jax.lax.dot_general(
-            q3[:, :, sl], k3[:, :, sl], (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * scale
+        logits = _bdot(q3[:, :, sl], k3[:, :, sl],
+                       ((2,), (2,)), ((0,), (0,)), cdt) * scale
         return jax.nn.softmax(logits, axis=-1)
 
     # forward recompute: probs are NOT kept across heads (VMEM); they are
@@ -191,39 +203,34 @@ def _bwd_kernel(x_ref, wq_ref, wk_ref, wv_ref, w_ref, b_ref, q_ref, mask_ref,
     o_parts = []
     for h in range(num_heads):
         sl = slice(h * head_dim, (h + 1) * head_dim)
-        o_parts.append(jax.lax.dot_general(
-            head_probs(h), v3[:, :, sl], (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32))
+        o_parts.append(_bdot(head_probs(h), v3[:, :, sl],
+                             ((2,), (1,)), ((0,), (0,)), cdt))
     o = jnp.concatenate(o_parts, axis=-1).reshape(nb * t, d)
     del o_parts
     if keep_prob < 1.0:
         drop_scale = mask_ref[:].reshape(nb * t, d).astype(jnp.float32) / keep_prob
         o = o * drop_scale  # everything downstream sees the dropped values
-    z = jnp.dot(o, w_att, preferred_element_type=jnp.float32) + b_att
+    z = _cdot(o, w_att, ((1,), (0,)), cdt) + b_att
     hact = jnp.tanh(z)                                     # [nb*t, a]
-    att = jnp.dot(hact, q_att,
-                  preferred_element_type=jnp.float32).reshape(nb, t)
+    att = _cdot(hact, q_att, ((1,), (0,)), cdt).reshape(nb, t)
     att = att - jnp.max(att, axis=-1, keepdims=True)
     expo = jnp.exp(att)
     weight = expo / (jnp.sum(expo, axis=-1, keepdims=True) + 1e-8)
 
     # ---- pooling backward ----
     o3 = o.reshape(nb, t, d)
-    dvals = jax.lax.dot_general(o3, g.reshape(nb, d, 1),
-                                (((2,), (1,)), ((0,), (0,))),
-                                preferred_element_type=jnp.float32
-                                ).reshape(nb, t)           # d_i = g . O_i
+    dvals = _bdot(o3, g.reshape(nb, d, 1),
+                  ((2,), (1,)), ((0,), (0,)), cdt).reshape(nb, t)  # d_i = g . O_i
     inner = jnp.sum(weight * dvals, axis=-1, keepdims=True)
     datt = weight * (dvals - inner)                        # [nb, t]
     do = weight[..., None] * g[:, None, :]                 # from the sum
     datt_flat = datt.reshape(nb * t, 1)
-    dq_acc = jnp.dot(hact.T, datt_flat, preferred_element_type=jnp.float32)
-    dh = jnp.dot(datt_flat, q_att.T, preferred_element_type=jnp.float32)
+    dq_acc = _cdot(hact.T, datt_flat, ((1,), (0,)), cdt)
+    dh = _cdot(datt_flat, q_att.T, ((1,), (0,)), cdt)
     dz = dh * (1.0 - hact * hact)
-    dw_acc = jnp.dot(o.T, dz, preferred_element_type=jnp.float32)
+    dw_acc = _cdot(o.T, dz, ((1,), (0,)), cdt)
     db_acc = jnp.sum(dz, axis=0)
-    do = do.reshape(nb * t, d) + jnp.dot(dz, w_att.T,
-                                         preferred_element_type=jnp.float32)
+    do = do.reshape(nb * t, d) + _cdot(dz, w_att.T, ((1,), (0,)), cdt)
     if keep_prob < 1.0:
         do = do * drop_scale  # route the gradient back through the dropout
 
@@ -235,31 +242,26 @@ def _bwd_kernel(x_ref, wq_ref, wk_ref, wv_ref, w_ref, b_ref, q_ref, mask_ref,
         p = head_probs(h)
         doh = do3[:, :, sl]
         vh = v3[:, :, sl]
-        dprobs = jax.lax.dot_general(doh, vh, (((2,), (2,)), ((0,), (0,))),
-                                     preferred_element_type=jnp.float32)
-        dv_parts.append(jax.lax.dot_general(
-            p, doh, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32))
+        dprobs = _bdot(doh, vh, ((2,), (2,)), ((0,), (0,)), cdt)
+        dv_parts.append(_bdot(p, doh, ((1,), (1,)), ((0,), (0,)), cdt))
         dlogits = p * (dprobs - jnp.sum(p * dprobs, axis=-1, keepdims=True))
         dlogits = dlogits * scale
-        dq_parts.append(jax.lax.dot_general(
-            dlogits, k3[:, :, sl], (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32))
-        dk_parts.append(jax.lax.dot_general(
-            dlogits, q3[:, :, sl], (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32))
+        dq_parts.append(_bdot(dlogits, k3[:, :, sl],
+                              ((2,), (1,)), ((0,), (0,)), cdt))
+        dk_parts.append(_bdot(dlogits, q3[:, :, sl],
+                              ((1,), (1,)), ((0,), (0,)), cdt))
     dq_flat = jnp.concatenate(dq_parts, axis=-1).reshape(nb * t, d)
     dk_flat = jnp.concatenate(dk_parts, axis=-1).reshape(nb * t, d)
     dv_flat = jnp.concatenate(dv_parts, axis=-1).reshape(nb * t, d)
 
     # ---- projection backward ----
-    dwq_acc = jnp.dot(x.T, dq_flat, preferred_element_type=jnp.float32)
-    dwk_acc = jnp.dot(x.T, dk_flat, preferred_element_type=jnp.float32)
-    dwv_acc = jnp.dot(x.T, dv_flat, preferred_element_type=jnp.float32)
-    dx = (jnp.dot(dq_flat, wq_w.T, preferred_element_type=jnp.float32)
-          + jnp.dot(dk_flat, wk_w.T, preferred_element_type=jnp.float32)
-          + jnp.dot(dv_flat, wv_w.T, preferred_element_type=jnp.float32))
-    dx_ref[:] = dx.reshape(nb, t, din)
+    dwq_acc = _cdot(x.T, dq_flat, ((1,), (0,)), cdt)
+    dwk_acc = _cdot(x.T, dk_flat, ((1,), (0,)), cdt)
+    dwv_acc = _cdot(x.T, dv_flat, ((1,), (0,)), cdt)
+    dx = (_cdot(dq_flat, wq_w.T, ((1,), (0,)), cdt)
+          + _cdot(dk_flat, wk_w.T, ((1,), (0,)), cdt)
+          + _cdot(dv_flat, wv_w.T, ((1,), (0,)), cdt))
+    dx_ref[:] = dx.reshape(nb, t, din).astype(dx_ref.dtype)
 
     @pl.when(is_first)
     def _():
@@ -280,30 +282,34 @@ def _bwd_kernel(x_ref, wq_ref, wk_ref, wv_ref, w_ref, b_ref, q_ref, mask_ref,
         dq_ref[:] += dq_acc
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
 def news_encoder(x, wq, wk, wv, w_att, b_att, q_att, drop_mask,
-                 num_heads, block_n=16, interpret=False, keep_prob=1.0):
+                 num_heads, block_n=16, interpret=False, keep_prob=1.0,
+                 compute_dtype="float32"):
     """Differentiable fused news encoder (custom VJP, recompute backward).
 
     ``drop_mask`` is a float32 0/1 tensor [N, T, D] (pass ones for eval);
     ``keep_prob`` < 1 enables the reference's attention->pooling dropout.
+    ``compute_dtype="bfloat16"`` runs the matmuls at the MXU's native bf16
+    rate with fp32 accumulation (forward and recompute-backward alike).
     """
     return fused_news_encoder(x, wq, wk, wv, w_att, b_att, q_att,
                               num_heads=num_heads, block_n=block_n,
                               interpret=interpret, drop_mask=drop_mask,
-                              keep_prob=keep_prob)
+                              keep_prob=keep_prob, compute_dtype=compute_dtype)
 
 
 def _news_encoder_fwd(x, wq, wk, wv, w_att, b_att, q_att, drop_mask,
-                      num_heads, block_n, interpret, keep_prob):
+                      num_heads, block_n, interpret, keep_prob, compute_dtype):
     out = fused_news_encoder(x, wq, wk, wv, w_att, b_att, q_att,
                              num_heads=num_heads, block_n=block_n,
                              interpret=interpret, drop_mask=drop_mask,
-                             keep_prob=keep_prob)
+                             keep_prob=keep_prob, compute_dtype=compute_dtype)
     return out, (x, wq, wk, wv, w_att, b_att, q_att, drop_mask)
 
 
-def _news_encoder_bwd(num_heads, block_n, interpret, keep_prob, residuals, g):
+def _news_encoder_bwd(num_heads, block_n, interpret, keep_prob, compute_dtype,
+                      residuals, g):
     x, wq, wk, wv, w_att, b_att, q_att, drop_mask = residuals
     n, t, din = x.shape
     d = wq.shape[1]
@@ -331,9 +337,9 @@ def _news_encoder_bwd(num_heads, block_n, interpret, keep_prob, residuals, g):
                                        memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
         partial(_bwd_kernel, num_heads=num_heads, head_dim=head_dim,
-                keep_prob=float(keep_prob)),
+                keep_prob=float(keep_prob), cdt=jnp.dtype(compute_dtype)),
         out_shape=(
-            jax.ShapeDtypeStruct((n_pad, t, din), jnp.float32),  # dx
+            jax.ShapeDtypeStruct((n_pad, t, din), x.dtype),  # dx
             jax.ShapeDtypeStruct((din, d), jnp.float32),
             jax.ShapeDtypeStruct((din, d), jnp.float32),
             jax.ShapeDtypeStruct((din, d), jnp.float32),

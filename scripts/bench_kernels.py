@@ -70,35 +70,49 @@ def bench_encoder():
     x = mk(N, T, DIN, sc=1.0)
     args = (x, mk(DIN, d), mk(DIN, d), mk(DIN, d), mk(d, A), mk(A), mk(A, 1))
 
+    bf16_args = tuple(a.astype(jnp.bfloat16) for a in args)
     ref = jax.jit(partial(news_encoder_reference, num_heads=HEADS))
-    print(f"xla fwd                 {timed(ref, *args):8.2f} ms", flush=True)
-    for block in (8, 16, 32):
-        fused = jax.jit(partial(fused_news_encoder, num_heads=HEADS, block_n=block))
-        try:
-            out = fused(*args)
-            expected = ref(*args)
-            err = float(jnp.max(jnp.abs(out - expected)))
-            print(f"pallas fwd block={block:<3}    {timed(fused, *args):8.2f} ms   maxerr {err:.2e}", flush=True)
-        except Exception as e:
-            print(f"pallas fwd block={block}: FAILED {type(e).__name__}: {str(e)[:120]}")
+    expected = ref(*args)
+    print(f"xla fwd fp32            {timed(ref, *args):8.2f} ms", flush=True)
+    print(f"xla fwd bf16            {timed(ref, *bf16_args):8.2f} ms", flush=True)
+    for cd, blocks, a_ in (("float32", (8, 16), args),
+                           ("bfloat16", (8, 16, 32), (bf16_args[0],) + args[1:])):
+        for block in blocks:
+            fused = jax.jit(partial(fused_news_encoder, num_heads=HEADS,
+                                    block_n=block, compute_dtype=cd))
+            try:
+                err = float(jnp.max(jnp.abs(fused(*a_) - expected)))
+                print(f"pallas fwd {cd[:4]} block={block:<3}"
+                      f"{timed(fused, *a_):8.2f} ms   maxerr {err:.2e}", flush=True)
+            except Exception as e:
+                print(f"pallas fwd {cd[:4]} block={block}: FAILED "
+                      f"{type(e).__name__}: {str(e)[:110]}", flush=True)
 
     def loss_ref(*a):
         return jnp.sum(news_encoder_reference(*a, num_heads=HEADS))
 
     gref = jax.jit(jax.grad(loss_ref, argnums=tuple(range(7))))
-    print(f"xla fwd+bwd             {timed(gref, *args):8.2f} ms", flush=True)
-    for block in (8, 16):
-        def loss_fused(*a, _b=block):
-            return jnp.sum(news_encoder(*a, HEADS, _b, False))
+    g2 = gref(*args)
+    print(f"xla fwd+bwd fp32        {timed(gref, *args):8.2f} ms", flush=True)
+    print(f"xla fwd+bwd bf16        {timed(gref, *bf16_args):8.2f} ms", flush=True)
+    dummy_mask = jnp.ones((8, 128), jnp.float32)
+    for cd, blocks, a_ in (("float32", (8,), args),
+                           ("bfloat16", (8, 16), (bf16_args[0],) + args[1:])):
+        for block in blocks:
+            def loss_fused(*a, _b=block, _cd=cd):
+                return jnp.sum(news_encoder(*a, dummy_mask, HEADS, _b, False,
+                                            1.0, _cd))
 
-        gfused = jax.jit(jax.grad(loss_fused, argnums=tuple(range(7))))
-        try:
-            g1 = gfused(*args)
-            g2 = gref(*args)
-            err = max(float(jnp.max(jnp.abs(a_ - b_))) for a_, b_ in zip(g1, g2))
-            print(f"pallas fwd+bwd block={block:<3}{timed(gfused, *args):8.2f} ms   maxerr {err:.2e}", flush=True)
-        except Exception as e:
-            print(f"pallas fwd+bwd block={block}: FAILED {type(e).__name__}: {str(e)[:120]}")
+            gfused = jax.jit(jax.grad(loss_fused, argnums=tuple(range(7))))
+            try:
+                g1 = gfused(*a_)
+                err = max(float(jnp.max(jnp.abs(x_.astype(jnp.float32) - y_)))
+                          for x_, y_ in zip(g1, g2))
+                print(f"pallas fwd+bwd {cd[:4]} block={block:<3}"
+                      f"{timed(gfused, *a_):8.2f} ms   maxerr {err:.2e}", flush=True)
+            except Exception as e:
+                print(f"pallas fwd+bwd {cd[:4]} block={block}: FAILED "
+                      f"{type(e).__name__}: {str(e)[:110]}", flush=True)
 
 
 def bench_embgrad():

@@ -126,3 +126,38 @@ def test_reference_matches_flax_layers():
         num_heads=heads,
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=2e-5)
+
+
+def test_bf16_compute_close_to_fp32_reference():
+    """compute_dtype='bfloat16' (bf16 MXU operands, fp32 accumulation) must
+    track the fp32 reference within bf16 rounding, fwd and bwd."""
+    from ebnerd_tpu.ops.news_encoder import news_encoder
+
+    rng = np.random.default_rng(1)
+    n, t, din, heads, head_dim, a = 12, 10, 48, 4, 8, 16
+    d = heads * head_dim
+    mk = lambda *s, sc=0.1: jnp.asarray(rng.standard_normal(s, dtype=np.float32) * sc)
+    args = (mk(n, t, din, sc=1.0), mk(din, d), mk(din, d), mk(din, d),
+            mk(d, a), mk(a), mk(a, 1))
+    ref = news_encoder_reference(*args, num_heads=heads)
+    xb = args[0].astype(jnp.bfloat16)
+    out = fused_news_encoder(xb, *args[1:], num_heads=heads, block_n=4,
+                             interpret=True, compute_dtype="bfloat16")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-2, rtol=3e-2)
+
+    dummy = jnp.ones((8, 128), jnp.float32)
+
+    def loss_fused(*a_):
+        return jnp.sum(news_encoder(*a_, dummy, heads, 4, True, 1.0, "bfloat16"))
+
+    def loss_ref(*a_):
+        return jnp.sum(news_encoder_reference(*a_, num_heads=heads))
+
+    g1 = jax.grad(loss_fused, argnums=tuple(range(7)))(xb, *args[1:])
+    g2 = jax.grad(loss_ref, argnums=tuple(range(7)))(*args)
+    assert g1[0].dtype == jnp.bfloat16  # dx in the input dtype
+    for a_, b_ in zip(g1, g2):
+        scale = float(jnp.max(jnp.abs(b_))) + 1e-9
+        err = float(jnp.max(jnp.abs(a_.astype(jnp.float32) - b_))) / scale
+        assert err < 6e-2, f"bf16 grad rel err {err}"
