@@ -162,6 +162,8 @@ def fused_news_encoder(
         ],
         out_specs=pl.BlockSpec((block_n, d), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(x, wq, wk, wv, w_att, b_att, q_att, drop_mask)
     return out[:n]
@@ -363,6 +365,8 @@ def _news_encoder_bwd(num_heads, block_n, interpret, keep_prob, compute_dtype,
             full(din, d), full(din, d), full(din, d),
             full(d, a), full(a), full(a, 1),
         ),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(x, wq, wk, wv, w_att, b_att, q_att, drop_mask, g)
     dx, dwq, dwk, dwv, dw, db, dq = outs
