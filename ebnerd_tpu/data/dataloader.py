@@ -137,22 +137,42 @@ class NewsrecFeed:
             yield batch
 
 
+def _choose_bucket_widths(lengths: np.ndarray, n_buckets: int,
+                          multiple: int = 8) -> list[int]:
+    """Candidate-width buckets (each a multiple of 8, last = max width),
+    cut at row-count quantiles so each bucket carries real mass."""
+    widths = np.maximum(
+        ((lengths + multiple - 1) // multiple) * multiple, multiple)
+    uniq = np.unique(widths)
+    if len(uniq) <= n_buckets:
+        return [int(w) for w in uniq]
+    qs = np.quantile(widths, [i / n_buckets for i in range(1, n_buckets)],
+                     method="higher")
+    cuts = sorted({int(q) for q in qs} | {int(uniq[-1])})
+    return cuts
+
+
 @dataclass
 class EvalFeed:
     """Scoring feed over ragged impressions: pad-to-bucket + candidate mask.
 
     Replaces the reference's eval-mode explode (one scorer call per
     candidate, dataloader.py:94-107) with batched masked scoring: each
-    impression keeps all its candidates in one row, padded to the bucket
-    width. ``unpad(scores)`` hands back one flat float32 stream aligned
-    with ``Ragged.values`` of the inview column — exactly what
-    ``add_prediction_scores`` expects.
+    impression keeps all its candidates in one row, padded to the width of
+    its bucket. Impressions are grouped into up to ``n_buckets`` candidate
+    -width buckets (quantile cuts, widths rounded to 8) so a split with a
+    skewed inview distribution doesn't pay max-K compute on every row —
+    one compiled program per bucket. ``unpad(scores)`` hands back one flat
+    float32 stream aligned with ``Ragged.values`` of the inview column —
+    exactly what ``add_prediction_scores`` expects.
 
     Output batch:
       hist_idx  int32 [B, H]
-      cand_idx  int32 [B, Kmax]
-      cand_mask bool  [B, Kmax]
+      cand_idx  int32 [B, W_bucket]
+      cand_mask bool  [B, W_bucket]
       user_idx  int32 [B]  (optional)
+      rows      int64 [n_valid]  host-side: global row ids of this batch
+      n_valid   int              host-side: real rows before padding
     """
 
     behaviors: Table
@@ -161,6 +181,7 @@ class EvalFeed:
     batch_size: int
     user_mapping: Optional[dict[int, int]] = None
     max_candidates: Optional[int] = None
+    n_buckets: int = 4
     history_col: str = DEFAULT_HISTORY_ARTICLE_ID_COL
     inview_col: str = DEFAULT_INVIEW_ARTICLES_COL
     user_col: str = DEFAULT_USER_COL
@@ -173,12 +194,22 @@ class EvalFeed:
         self.width = self.max_candidates or pad_to_multiple(max(kmax, 1), 8)
         if kmax > self.width:
             raise ValueError(f"impression with {kmax} candidates exceeds bucket {self.width}")
+        if self.max_candidates or len(inview) == 0:
+            self.bucket_widths = [self.width]
+        else:
+            self.bucket_widths = _choose_bucket_widths(
+                inview.lengths, max(1, self.n_buckets))
         self.hist_idx, _ = _dense_indices(
             df[self.history_col], self.lookup, self.history_size, align="right"
         )
+        # full-width indices/mask: unpad() works from these; batches() slices
+        # down to each bucket's width (align="left" puts all real candidates
+        # in the leading columns, so the slice loses only padding)
         self.cand_idx, self.cand_mask = _dense_indices(
             inview, self.lookup, self.width, align="left"
         )
+        lengths = inview.lengths if len(inview) else np.zeros(0, np.int64)
+        self.row_bucket = np.searchsorted(self.bucket_widths, lengths)
         if self.user_mapping is not None:
             users = np.asarray(df[self.user_col])
             n = len(self.user_mapping)
@@ -193,24 +224,29 @@ class EvalFeed:
         return self.hist_idx.shape[0]
 
     def __len__(self) -> int:
-        return -(-self.n_rows // self.batch_size)
+        return sum(-(-int((self.row_bucket == b).sum()) // self.batch_size)
+                   for b in range(len(self.bucket_widths)))
 
     def batches(self) -> Iterator[dict[str, np.ndarray]]:
-        """In-order batches; the last batch is zero-padded to full size so
-        every step reuses one compiled program (static shapes)."""
-        n, bs = self.n_rows, self.batch_size
-        for start in range(0, n, bs):
-            sl = slice(start, min(start + bs, n))
-            m = sl.stop - sl.start
-            batch = {
-                "hist_idx": _pad_rows(self.hist_idx[sl], bs),
-                "cand_idx": _pad_rows(self.cand_idx[sl], bs),
-                "cand_mask": _pad_rows(self.cand_mask[sl], bs),
-                "n_valid": m,
-            }
-            if self.user_idx is not None:
-                batch["user_idx"] = _pad_rows(self.user_idx[sl], bs)
-            yield batch
+        """Per-bucket batches (each batch zero-padded to full batch size so
+        every step reuses one compiled program per bucket width). Batches
+        carry their global ``rows`` so scores land in original impression
+        order regardless of bucket interleaving."""
+        bs = self.batch_size
+        for b, w in enumerate(self.bucket_widths):
+            rows = np.flatnonzero(self.row_bucket == b)
+            for start in range(0, len(rows), bs):
+                r = rows[start : start + bs]
+                batch = {
+                    "hist_idx": _pad_rows(self.hist_idx[r], bs),
+                    "cand_idx": _pad_rows(self.cand_idx[r, :w], bs),
+                    "cand_mask": _pad_rows(self.cand_mask[r, :w], bs),
+                    "n_valid": len(r),
+                    "rows": r,
+                }
+                if self.user_idx is not None:
+                    batch["user_idx"] = _pad_rows(self.user_idx[r], bs)
+                yield batch
 
     def unpad(self, scores: np.ndarray) -> Ragged:
         """[N, width] padded score matrix -> ragged scores aligned with the

@@ -105,6 +105,13 @@ class Ragged:
     def take_rows(self, indices: np.ndarray) -> "Ragged":
         """Gather rows (with repetition allowed): out row j = self row indices[j]."""
         indices = np.asarray(indices, dtype=np.int64)
+        # Validate up front: the native gather_ranges path is a raw memcpy
+        # with no bounds checks, so out-of-range / negative indices must
+        # fail loudly here instead of reading out-of-bounds memory.
+        if indices.size and (indices.min() < 0 or indices.max() >= len(self)):
+            bad = indices[(indices < 0) | (indices >= len(self))][0]
+            raise IndexError(
+                f"take_rows index {bad} out of range for Ragged with {len(self)} rows")
         lengths = self.lengths[indices]
         out_offsets = np.zeros(len(indices) + 1, dtype=np.int64)
         np.cumsum(lengths, out=out_offsets[1:])

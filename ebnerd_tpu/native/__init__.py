@@ -34,15 +34,22 @@ _u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
 
 
 def build(force: bool = False) -> bool:
-    """Compile ragged_kernels.cc -> _ragged_kernels.so. Returns success."""
+    """Compile ragged_kernels.cc -> _ragged_kernels.so. Returns success.
+
+    Safe against concurrent builders (pytest-xdist, multi-host launch):
+    compiles to a process-unique temp path and os.rename()s it into place
+    (atomic on POSIX), so no process can dlopen a partially written file."""
     if _SO.exists() and not force and _SO.stat().st_mtime >= _SRC.stat().st_mtime:
         return True
+    tmp = _SO.with_suffix(f".tmp.{os.getpid()}.so")
     cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-           str(_SRC), "-o", str(_SO)]
+           str(_SRC), "-o", str(tmp)]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _SO)
         return True
     except (OSError, subprocess.SubprocessError):
+        tmp.unlink(missing_ok=True)
         return False
 
 

@@ -32,6 +32,7 @@ __all__ = [
     "TwoTowerScorer",
     "model_kind",
     "encode_article_rows",
+    "article_validity",
     "two_tower_logits",
 ]
 
@@ -84,12 +85,36 @@ def encode_article_rows(model, variables, tables: dict, idx: jnp.ndarray) -> jnp
     raise AssertionError(kind)
 
 
-def two_tower_logits(model, variables, art_vecs: jnp.ndarray, raw: dict) -> jnp.ndarray:
+def article_validity(tables: dict) -> Optional[jnp.ndarray]:
+    """Per-article-row history-mask vector [V+1] matching the full forward
+    pass's ``(hist_tokens != 0).any(-1)`` semantics (models/newsrec.py): an
+    article whose token row is all zeros (empty title — includes padding
+    row 0) is masked out of LSTUR's GRU / Fastformer's user pooling.
+    None when the model family carries no token table (docvec models don't
+    mask)."""
+    title = tables.get("title")
+    if title is None:
+        return None
+    return (jnp.asarray(title) != 0).any(-1)
+
+
+def _hist_mask(art_valid: Optional[jnp.ndarray], hist_idx: jnp.ndarray) -> jnp.ndarray:
+    if art_valid is not None:
+        return art_valid[hist_idx].astype(jnp.float32)
+    # fallback: padding row 0 only (correct unless a known article has an
+    # all-zero token row — pass art_valid to cover that edge case)
+    return (hist_idx != 0).astype(jnp.float32)
+
+
+def two_tower_logits(model, variables, art_vecs: jnp.ndarray, raw: dict,
+                     art_valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """User tower + scoring from precomputed article vectors.
 
     ``raw`` is an EvalFeed/NewsrecFeed batch (hist_idx [B, H],
     cand_idx [B, K], optional user_idx). Returns raw logits [B, K]
-    identical to the full forward pass."""
+    identical to the full forward pass. ``art_valid`` (from
+    ``article_validity``) supplies exact history-mask semantics for
+    LSTUR/Fastformer."""
     kind = _require_kind(model)
     m, v = model, variables
     hist_vecs = art_vecs[raw["hist_idx"]]
@@ -99,9 +124,7 @@ def two_tower_logits(model, variables, art_vecs: jnp.ndarray, raw: dict) -> jnp.
                        method=lambda mdl, h, tr: mdl.encode_user(h, tr))
         return jnp.einsum("bkd,bd->bk", cand_vecs, user)
     if kind == "lstur":
-        # row 0 is the unknown/padding article (all-zero tokens encode to
-        # exactly zero, lstur.py:113-144) — mask it out of the GRU
-        hist_mask = (raw["hist_idx"] != 0).astype(jnp.float32)
+        hist_mask = _hist_mask(art_valid, raw["hist_idx"])
         user = m.apply(
             v, hist_vecs, hist_mask, raw["user_idx"], False,
             method=lambda mdl, h, hm, u, tr: mdl.encode_user(h, hm, u, tr))
@@ -110,7 +133,7 @@ def two_tower_logits(model, variables, art_vecs: jnp.ndarray, raw: dict) -> jnp.
         user = m.apply(v, hist_vecs, method=lambda mdl, h: mdl.user_pool(h))
         return jnp.einsum("bkd,bd->bk", cand_vecs, user)
     if kind == "fastformer":
-        hist_mask = (raw["hist_idx"] != 0).astype(jnp.float32)
+        hist_mask = _hist_mask(art_valid, raw["hist_idx"])
 
         def score_ff(mdl, h, hm, cand):
             user = mdl.user_pool(h, mask=hm)
@@ -132,6 +155,7 @@ class ArticleIndex:
         self.tables = {k: jnp.asarray(v) for k, v in tables.items()}
         self.batch_size = batch_size
         self.vectors: Optional[jnp.ndarray] = None
+        self.validity = article_validity(self.tables)
 
     def build(self) -> jnp.ndarray:
         """Encode the whole corpus in fixed-size chunks (one compile)."""
@@ -159,19 +183,19 @@ class TwoTowerScorer:
             index.build()
         self.index = index
         self._score = jax.jit(
-            lambda variables, art_vecs, raw: jax.nn.sigmoid(
-                two_tower_logits(index.model, variables, art_vecs, raw))
+            lambda variables, art_vecs, art_valid, raw: jax.nn.sigmoid(
+                two_tower_logits(index.model, variables, art_vecs, raw,
+                                 art_valid=art_valid))
         )
 
     def score(self, feed: EvalFeed) -> Ragged:
         out = np.zeros((feed.n_rows, feed.width), np.float32)
-        row = 0
         for raw in feed.batches():
-            n_valid = raw.pop("n_valid")
+            raw.pop("n_valid")
+            rows = raw.pop("rows")
             raw.pop("cand_mask", None)
             scores = np.asarray(self._score(
-                self.index.variables, self.index.vectors,
+                self.index.variables, self.index.vectors, self.index.validity,
                 {k: jnp.asarray(x) for k, x in raw.items()}))
-            out[row:row + n_valid] = scores[:n_valid]
-            row += n_valid
+            out[rows, : scores.shape[1]] = scores[: len(rows)]
         return feed.unpad(out)

@@ -33,7 +33,7 @@ from ..data.ragged import Ragged
 from ..evaluation.ranking import per_impression_auc
 from ..models.inputs import BatchBuilder
 from ..parallel.mesh import data_sharding, replicated, shard_batch
-from ..serving import encode_article_rows, model_kind, two_tower_logits
+from ..serving import article_validity, encode_article_rows, model_kind, two_tower_logits
 from .losses import l2_penalty, loss_fn_for
 
 __all__ = ["TrainState", "Trainer", "TrainerConfig"]
@@ -224,14 +224,16 @@ class Trainer:
         return encode_article_rows(self.model, self._variables(state), self.tables, idx)
 
     @partial(jax.jit, static_argnums=0)
-    def _two_tower_step(self, state: TrainState, art_vecs: jnp.ndarray, raw: dict) -> jnp.ndarray:
-        logits = two_tower_logits(self.model, self._variables(state), art_vecs, raw)
+    def _two_tower_step(self, state: TrainState, art_vecs: jnp.ndarray,
+                        art_valid, raw: dict) -> jnp.ndarray:
+        logits = two_tower_logits(self.model, self._variables(state), art_vecs, raw,
+                                  art_valid=art_valid)
         return jax.nn.sigmoid(logits)
 
     # -- loops ------------------------------------------------------------
 
     def _put(self, raw: dict) -> dict:
-        raw = {k: v for k, v in raw.items() if k != "n_valid"}
+        raw = {k: v for k, v in raw.items() if k not in ("n_valid", "rows")}
         return shard_batch(raw, self.mesh)
 
     def fit(
@@ -327,15 +329,20 @@ class Trainer:
         if use_tt:
             return self._score_two_tower(feed)
         out = np.zeros((feed.n_rows, feed.width), np.float32)
-        row = 0
         for raw in feed.batches():
-            n_valid = raw["n_valid"]
+            rows = raw["rows"]
             scores = np.asarray(self._score_step(self.state, self._put(raw)))
-            out[row : row + n_valid] = scores[:n_valid]
-            row += n_valid
+            out[rows, : scores.shape[1]] = scores[: len(rows)]
         return feed.unpad(out)
 
-    def _score_two_tower(self, feed: EvalFeed) -> Ragged:
+    def _article_index(self) -> jnp.ndarray:
+        """The [V+1, D] corpus encoding at the CURRENT params, cached on the
+        optimizer step counter so repeated ``score()`` calls at fixed params
+        (e.g. chunked test inference) encode the corpus exactly once."""
+        step = int(self.state.step)
+        cached = getattr(self, "_art_cache", None)
+        if cached is not None and cached[0] == step:
+            return cached[1]
         n_rows = next(iter(self.tables.values())).shape[0]
         bs = min(4096, n_rows)
         chunks = []
@@ -345,12 +352,17 @@ class Trainer:
                 idx = np.concatenate([idx, np.zeros(bs - idx.shape[0], np.int32)])
             chunks.append(self._encode_articles_step(self.state, jnp.asarray(idx)))
         art_vecs = jnp.concatenate(chunks, axis=0)[:n_rows]
+        self._art_cache = (step, art_vecs)
+        return art_vecs
+
+    def _score_two_tower(self, feed: EvalFeed) -> Ragged:
+        art_vecs = self._article_index()
+        art_valid = article_validity(self.tables)
         out = np.zeros((feed.n_rows, feed.width), np.float32)
-        row = 0
         for raw in feed.batches():
-            n_valid = raw["n_valid"]
-            raw = {k: v for k, v in raw.items() if k not in ("n_valid", "cand_mask")}
-            scores = np.asarray(self._two_tower_step(self.state, art_vecs, raw))
-            out[row : row + n_valid] = scores[:n_valid]
-            row += n_valid
+            rows = raw["rows"]
+            raw = {k: v for k, v in raw.items()
+                   if k not in ("n_valid", "rows", "cand_mask")}
+            scores = np.asarray(self._two_tower_step(self.state, art_vecs, art_valid, raw))
+            out[rows, : scores.shape[1]] = scores[: len(rows)]
         return feed.unpad(out)

@@ -93,11 +93,40 @@ def test_eval_feed_mask_invariant(split, lookup):
     # the reference eval-unfold invariant, masked-batched form
     assert int(feed.cand_mask.sum()) == inview.total
     total_rows = 0
+    seen_rows = []
     for b in feed.batches():
-        assert b["cand_idx"].shape == (BS, feed.width)
-        assert b["cand_mask"].shape == (BS, feed.width)
+        w = b["cand_idx"].shape[1]
+        assert b["cand_idx"].shape == (BS, w)
+        assert b["cand_mask"].shape == (BS, w)
+        assert w in feed.bucket_widths
         total_rows += b["n_valid"]
+        seen_rows.append(b["rows"])
     assert total_rows == feed.n_rows == len(df)
+    # every impression appears in exactly one batch
+    all_rows = np.concatenate(seen_rows)
+    np.testing.assert_array_equal(np.sort(all_rows), np.arange(feed.n_rows))
+
+
+def test_eval_feed_bucketing_preserves_order(split, lookup):
+    """Bucketed batches interleave impressions; placing scores by ``rows``
+    must reproduce exactly the per-impression candidate order."""
+    df = create_binary_labels_column(ebnerd_from_path(split, history_size=H))
+    feed = EvalFeed(df, lookup, history_size=H, batch_size=4, n_buckets=3)
+    inview: Ragged = df[c.DEFAULT_INVIEW_ARTICLES_COL]
+    # "score" = the candidate's row index in the table (deterministic,
+    # candidate-identifying) so placement errors are visible
+    out = np.zeros((feed.n_rows, feed.width), np.float32)
+    for b in feed.batches():
+        rows = b["rows"]
+        scores = b["cand_idx"].astype(np.float32)  # stand-in for model output
+        out[rows, : scores.shape[1]] = scores[: len(rows)]
+    ragged = feed.unpad(out)
+    expected = lookup.map_ragged(inview)
+    np.testing.assert_array_equal(ragged.values.astype(np.int64), expected.values)
+    np.testing.assert_array_equal(ragged.offsets, expected.offsets)
+    # buckets actually differentiate when the split is skewed
+    if len(np.unique(inview.lengths)) > 1:
+        assert len(feed.bucket_widths) >= 1
 
 
 def test_eval_feed_unpad_roundtrip(split, lookup):

@@ -31,7 +31,13 @@ def setup(tmp_path_factory):
     articles = read_parquet(path / "articles.parquet")
     ids = np.asarray(articles[c.DEFAULT_ARTICLE_ID_COL])
     rng = np.random.default_rng(1)
-    lookup = Lookup.from_values(ids, rng.integers(1, VOCAB, (len(ids), T)).astype(np.int32))
+    tokens = rng.integers(1, VOCAB, (len(ids), T)).astype(np.int32)
+    # a known article with an empty title (all-zero token row): the full
+    # forward pass masks it out of LSTUR/Fastformer history pooling via
+    # (hist_tokens != 0).any(-1); the two-tower path must match exactly
+    # (serving.article_validity)
+    tokens[len(ids) // 2] = 0
+    lookup = Lookup.from_values(ids, tokens)
     return df, lookup
 
 
@@ -53,7 +59,10 @@ def test_nrms_two_tower_matches_full_forward(setup):
     model = NRMS(hp, vocab_size=VOCAB, word_emb_dim=16)
     trainer = _trainer(model, lookup)
     feed = EvalFeed(df, lookup, history_size=H, batch_size=16)
-    full = trainer.score(feed)
+    # two_tower=False: the reference side must be the FULL forward pass
+    # (the trainer's default two_tower_eval='auto' would otherwise route
+    # score() through the same two-tower path being tested)
+    full = trainer.score(feed, two_tower=False)
     variables = {"params": trainer.state.params}
     index = ArticleIndex(model, variables, {"title": lookup.matrix}, batch_size=16)
     tt = TwoTowerScorer(index).score(feed)
@@ -68,7 +77,7 @@ def test_fastformer_two_tower_matches_full_forward(setup):
     model = Fastformer(hp, vocab_size=VOCAB, word_emb_dim=16)
     trainer = _trainer(model, lookup)
     feed = EvalFeed(df, lookup, history_size=H, batch_size=16)
-    full = trainer.score(feed)
+    full = trainer.score(feed, two_tower=False)
     variables = {"params": trainer.state.params}
     index = ArticleIndex(model, variables, {"title": lookup.matrix}, batch_size=16)
     tt = TwoTowerScorer(index).score(feed)
