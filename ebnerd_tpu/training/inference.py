@@ -20,7 +20,7 @@ from ..data.ragged import Ragged
 from ..data.table import Table, read_parquet, write_parquet
 from ..utils.submission import rank_ragged_scores
 
-__all__ = ["chunked_score", "split_chunks"]
+__all__ = ["chunked_score", "split_chunks", "assemble_submission"]
 
 SCORES_COL = "scores"
 RANKS_COL = "ranked_scores"
@@ -86,3 +86,30 @@ def chunked_score(
     for r in results[1:]:
         total = total.concat(r)
     return total
+
+
+def assemble_submission(parts: list[Table], impression_ids: np.ndarray) -> Ragged:
+    """Reassemble chunked/split scoring results into the ORIGINAL impression
+    order and return the ragged rank column ready for
+    ``write_submission_file`` (the reference concatenates its wo_ba + w_ba
+    chunk parquets the same way before writing predictions.txt,
+    ebnerd_nrms.py:352-364).
+
+    ``parts`` are ``chunked_score`` outputs (any row order between them);
+    ``impression_ids`` is the full test split's impression-id column in
+    file order. Raises if the union of parts does not cover it exactly.
+    """
+    total = parts[0]
+    for p in parts[1:]:
+        total = total.concat(p)
+    got_ids = np.asarray(total[DEFAULT_IMPRESSION_ID_COL], dtype=np.int64)
+    want_ids = np.asarray(impression_ids, dtype=np.int64)
+    if len(got_ids) != len(want_ids):
+        raise ValueError(
+            f"scored {len(got_ids)} impressions but the split has {len(want_ids)}")
+    order = np.argsort(got_ids, kind="stable")
+    pos = np.searchsorted(got_ids[order], want_ids)
+    if (pos >= len(got_ids)).any() or (got_ids[order][pos] != want_ids).any():
+        raise ValueError("scored impression ids do not match the split")
+    ranks: Ragged = total[RANKS_COL]
+    return ranks.take_rows(order[pos])

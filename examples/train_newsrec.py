@@ -301,10 +301,17 @@ def main(argv=None):
         out_dir / "predictions.txt",
         filename_zip=f"{args.model}_predictions.zip",
     )
-    if args.run_test and not args.synthetic:
-        from ebnerd_tpu.training.inference import chunked_score
+    if args.run_test:
+        from ebnerd_tpu.training.inference import assemble_submission, chunked_score
 
-        test_path = Path(args.data_path).expanduser() / "ebnerd_testset" / "test"
+        if args.synthetic:
+            from ebnerd_tpu.data.synthetic import make_synthetic_ebnerd
+
+            test_path = make_synthetic_ebnerd(
+                out_dir / "synthetic" / "test", n_users=200, n_articles=500,
+                n_impressions=600, seed=args.seed + 2, test_set=True)
+        else:
+            test_path = Path(args.data_path).expanduser() / "ebnerd_testset" / "test"
         df_test = ebnerd_from_path(test_path, history_size=args.history_size)
         # score the ~250-candidate beyond-accuracy rows separately so the
         # normal rows don't pad to the BA bucket width (the reference also
@@ -315,14 +322,25 @@ def main(argv=None):
                       ("w_ba", df_test.filter(ba_mask), 1)]
         else:
             splits = [("all", df_test, args.n_chunks_test)]
-        for name, part, n_chunks in splits:
-            if len(part) == 0:
-                continue
+        parts = [
             chunked_score(scorer, part, lookup,
                           history_size=args.history_size,
                           batch_size=args.bs_test, n_chunks=n_chunks,
                           out_dir=out_dir / f"test_chunks_{name}",
                           user_mapping=user_mapping)
+            for name, part, n_chunks in splits if len(part)
+        ]
+        # reassemble wo_ba + w_ba chunk results into the original impression
+        # order and write the one uploadable zip (reference:
+        # ebnerd_nrms.py:352-364)
+        test_ids = np.asarray(df_test[c.DEFAULT_IMPRESSION_ID_COL])
+        test_ranks = assemble_submission(parts, test_ids)
+        write_submission_file(
+            test_ids, test_ranks, out_dir / "test_predictions.txt",
+            filename_zip=f"{args.model}_test_predictions.zip",
+        )
+        print(f"[submission] {out_dir / (args.model + '_test_predictions.zip')} "
+              f"({len(test_ids)} impressions)")
     return results
 
 

@@ -8,7 +8,13 @@ from ebnerd_tpu.data.lookup import Lookup
 from ebnerd_tpu.models.config import HParamsNRMS
 from ebnerd_tpu.models.inputs import token_batch
 from ebnerd_tpu.models.newsrec import NRMS
-from ebnerd_tpu.training.inference import RANKS_COL, SCORES_COL, chunked_score, split_chunks
+from ebnerd_tpu.training.inference import (
+    RANKS_COL,
+    SCORES_COL,
+    assemble_submission,
+    chunked_score,
+    split_chunks,
+)
 from ebnerd_tpu.training.trainer import Trainer, TrainerConfig
 
 H, T, VOCAB = 4, 6, 120
@@ -62,3 +68,43 @@ def test_chunked_score_and_resume(tmp_path, ebnerd_fixture):
                          n_chunks=3, out_dir=tmp_path, log=calls.append)
     assert sum("skipping" in m for m in calls) == 2
     np.testing.assert_allclose(out[SCORES_COL].values, out2[SCORES_COL].values, atol=1e-6)
+
+
+def test_assemble_submission_restores_impression_order(tmp_path, ebnerd_fixture):
+    """The reference's final test-set assembly: wo_ba + w_ba halves scored
+    separately must come back together in the ORIGINAL impression order and
+    round-trip through the zipped predictions.txt
+    (reference: ebnerd_nrms.py:352-364)."""
+    from ebnerd_tpu.utils.submission import read_submission_file, write_submission_file
+
+    df, lookup, trainer = _setup(ebnerd_fixture)
+    # emulate the is_beyond_accuracy split: interleaved mask, two parts
+    ba_mask = np.zeros(len(df), bool)
+    ba_mask[::3] = True
+    parts = [
+        chunked_score(trainer, df.filter(~ba_mask), lookup, history_size=H,
+                      batch_size=16, n_chunks=2, out_dir=tmp_path / "wo_ba",
+                      log=lambda s: None),
+        chunked_score(trainer, df.filter(ba_mask), lookup, history_size=H,
+                      batch_size=16, n_chunks=1, out_dir=tmp_path / "w_ba",
+                      log=lambda s: None),
+    ]
+    imp_ids = np.asarray(df[c.DEFAULT_IMPRESSION_ID_COL])
+    ranks = assemble_submission(parts, imp_ids)
+    # per-row identity: each assembled row equals the row scored for that
+    # impression inside its own part
+    whole = chunked_score(trainer, df, lookup, history_size=H, batch_size=16,
+                          n_chunks=1, out_dir=tmp_path / "whole", log=lambda s: None)
+    np.testing.assert_array_equal(ranks.values, whole[RANKS_COL].values)
+    np.testing.assert_array_equal(ranks.offsets, whole[RANKS_COL].offsets)
+    # uploadable zip round-trips bit-exact
+    path = tmp_path / "predictions.txt"
+    write_submission_file(imp_ids, ranks, path, rm_file=False)
+    rt_ids, rt_ranks = read_submission_file(path)
+    np.testing.assert_array_equal(rt_ids, imp_ids.astype(np.int64))
+    np.testing.assert_array_equal(rt_ranks.values, ranks.values)
+    # mismatched coverage fails loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="impressions"):
+        assemble_submission(parts[:1], imp_ids)
