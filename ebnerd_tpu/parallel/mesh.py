@@ -25,6 +25,7 @@ __all__ = [
     "replicated",
     "table_sharding",
     "shard_batch",
+    "put_replicated",
     "host_shard_rows",
 ]
 
@@ -61,14 +62,41 @@ def table_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: dict, mesh: Optional[Mesh]) -> dict:
-    """Ship a host batch to devices, splitting the batch axis over 'data'."""
+    """Ship a host batch to devices, splitting the batch axis over 'data'.
+
+    Single-process: one device_put per array. Multi-process (the mesh
+    spans hosts): every process passes the same GLOBAL batch; each host
+    extracts its contiguous row slice and the global jax.Array is
+    assembled from the process-local shards — the multi-controller
+    equivalent of the same sharding."""
     if mesh is None:
         return batch
     sharding = data_sharding(mesh)
+    if jax.process_count() > 1:
+        out = {}
+        for k, v in batch.items():
+            if getattr(v, "ndim", 0) >= 1:
+                rows = host_shard_rows(v.shape[0])
+                out[k] = jax.make_array_from_process_local_data(
+                    sharding, np.ascontiguousarray(np.asarray(v)[rows]),
+                    global_shape=np.asarray(v).shape)
+            else:
+                out[k] = v
+        return out
     return {
         k: (jax.device_put(v, sharding) if getattr(v, "ndim", 0) >= 1 else v)
         for k, v in batch.items()
     }
+
+
+def put_replicated(x, mesh: Mesh):
+    """Replicate a host array over every device of the mesh; works in both
+    single- and multi-controller runs (all processes must pass the same
+    value)."""
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(
+            replicated(mesh), np.asarray(x), global_shape=np.asarray(x).shape)
+    return jax.device_put(x, replicated(mesh))
 
 
 def host_shard_rows(n_rows: int, process_index: Optional[int] = None,

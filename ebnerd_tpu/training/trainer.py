@@ -125,7 +125,7 @@ class Trainer:
                 return replicated(mesh)
 
             self.tables = {
-                k: jax.device_put(np.asarray(v), table_sharding_for(k))
+                k: self._put_global(np.asarray(v), table_sharding_for(k))
                 for k, v in tables.items()
             }
         else:
@@ -138,9 +138,21 @@ class Trainer:
         self.loss_fn = loss_fn_for(config.loss)
         self.state: Optional[TrainState] = None
         self._rng = jax.random.key(config.seed)
-        if mesh is not None:
+        if mesh is not None and jax.process_count() == 1:
+            # multi-controller runs keep the key host-side: every process
+            # derives the identical stream, and jit treats the host value
+            # as replicated
             self._rng = jax.device_put(self._rng, replicated(mesh))
         self.history: list[dict[str, float]] = []
+
+    def _put_global(self, x, sharding):
+        """Place a host array under ``sharding``; in multi-controller runs
+        the global jax.Array is assembled from each process's addressable
+        shards (every process holds the full value)."""
+        if jax.process_count() > 1:
+            return jax.make_array_from_callback(
+                np.shape(x), sharding, lambda idx: np.asarray(x)[idx])
+        return jax.device_put(x, sharding)
 
     # -- state ------------------------------------------------------------
 
