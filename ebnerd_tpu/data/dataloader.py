@@ -42,6 +42,27 @@ def pad_to_multiple(n: int, multiple: int) -> int:
     return ((n + multiple - 1) // multiple) * multiple
 
 
+def _map_users(users, user_mapping: dict[int, int]) -> np.ndarray:
+    """User ids -> int indices; UNSEEN users map to index
+    ``len(user_mapping)`` (one past the last trained user).
+
+    Deliberate deviation from the reference, which maps unknown users to
+    index 0 — aliasing them with user id(s) that DID occur in training
+    (polars ``replace(default=0)``, newsrec/dataloader.py:219-224). Both
+    land on a zero-initialized embedding row at init (lstur.py:71-77), so
+    training is unaffected; at eval time the reference hands unknown
+    users user 0's LEARNED long-term embedding, while this framework
+    gives them the reserved untouched row — the better-defined cold-start
+    semantics. Checkpoints are therefore NOT row-interchangeable with
+    reference-style user tables (pinned by
+    tests/data/test_dataloader.py::test_unknown_user_convention).
+    """
+    users = np.asarray(users)
+    n = len(user_mapping)
+    return np.asarray(
+        [user_mapping.get(int(u), n) for u in users], dtype=np.int32)
+
+
 def _dense_indices(
     col: Ragged, lookup: Lookup, width: int, align: str
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -99,11 +120,7 @@ class NewsrecFeed:
         labels: Ragged = df[self.label_col]
         self.labels = labels.values.reshape(len(df), self.n_candidates).astype(np.float32)
         if self.user_mapping is not None:
-            users = np.asarray(df[self.user_col])
-            n = len(self.user_mapping)
-            self.user_idx = np.asarray(
-                [self.user_mapping.get(int(u), n) for u in users], dtype=np.int32
-            )
+            self.user_idx = _map_users(df[self.user_col], self.user_mapping)
         else:
             self.user_idx = None
         self._epoch = 0
@@ -211,11 +228,7 @@ class EvalFeed:
         lengths = inview.lengths if len(inview) else np.zeros(0, np.int64)
         self.row_bucket = np.searchsorted(self.bucket_widths, lengths)
         if self.user_mapping is not None:
-            users = np.asarray(df[self.user_col])
-            n = len(self.user_mapping)
-            self.user_idx = np.asarray(
-                [self.user_mapping.get(int(u), n) for u in users], dtype=np.int32
-            )
+            self.user_idx = _map_users(df[self.user_col], self.user_mapping)
         else:
             self.user_idx = None
 

@@ -43,44 +43,58 @@ def _bdot(a, b, dims, bdims, cdt):
                                preferred_element_type=jnp.float32)
 
 
-def _head_mask(num_heads: int, head_dim: int, cdt) -> jnp.ndarray:
-    """[h, D] 0/1 matrix selecting each head's feature slice:
-    MT[h, d] = 1 iff d // head_dim == h."""
+def _row_head_mask(t: int, num_heads: int, head_dim: int, cdt) -> jnp.ndarray:
+    """[h*t, D] 0/1 matrix: row h*t + k selects head h's feature slice
+    (MASK[r, d] = 1 iff r // t == d // head_dim)."""
     d = num_heads * head_dim
-    hs = jax.lax.broadcasted_iota(jnp.int32, (num_heads, d), 0)
-    ds = jax.lax.broadcasted_iota(jnp.int32, (num_heads, d), 1)
-    return (ds // head_dim == hs).astype(cdt)
+    rs = jax.lax.broadcasted_iota(jnp.int32, (num_heads * t, d), 0)
+    ds = jax.lax.broadcasted_iota(jnp.int32, (num_heads * t, d), 1)
+    return (rs // t == ds // head_dim).astype(cdt)
 
 
-def _head_masked(x3: jnp.ndarray, mt: jnp.ndarray, cdt) -> jnp.ndarray:
+def _head_sum_matrix(t: int, num_heads: int, cdt) -> jnp.ndarray:
+    """[h*t, h] 0/1 matrix summing each head's contiguous t-wide row group:
+    SH[r, j] = 1 iff r // t == j."""
+    rs = jax.lax.broadcasted_iota(jnp.int32, (num_heads * t, num_heads), 0)
+    js = jax.lax.broadcasted_iota(jnp.int32, (num_heads * t, num_heads), 1)
+    return (rs // t == js).astype(cdt)
+
+
+def _head_masked(x3: jnp.ndarray, mask_ht: jnp.ndarray, cdt) -> jnp.ndarray:
     """[nb, t, D] -> [nb, h*t, D] with row (h*t + k) = x3[:, k] * head-mask h.
 
-    VPU broadcast-multiplies; no transposes. Turns per-head attention
-    into ONE batched matmul with a D-wide contraction (see _mhsa): the
-    head mask zeroes cross-head terms, so
-    sum_d q[d] * (k[d] * MT[h, d]) = the head-h dot product.
-    Static per-head loop + concat keeps every op 3-D (Mosaic, as
-    deployed here, rejects 4-D broadcasts/reshapes).
+    One concat + one VPU multiply; no transposes. Turns per-head
+    attention into ONE batched matmul with a D-wide contraction (see
+    _mhsa): the head mask zeroes cross-head terms, so
+    sum_d q[d] * (k[d] * MASK[h*t+k, d]) = the head-h dot product.
+    All ops stay 3-D (Mosaic, as deployed here, rejects 4-D
+    broadcasts/reshapes).
     """
-    h = mt.shape[0]
+    h = mask_ht.shape[0] // x3.shape[1]
     xc = x3.astype(cdt)
-    return jnp.concatenate([xc * mt[i][None, None, :] for i in range(h)], axis=1)
+    return jnp.concatenate([xc] * h, axis=1) * mask_ht[None]
 
 
-def _softmax_per_head(logits: jnp.ndarray, t: int, num_heads: int) -> jnp.ndarray:
+def _softmax_per_head(logits: jnp.ndarray, sh: jnp.ndarray, cdt) -> jnp.ndarray:
     """Softmax over each head's contiguous t-wide slice of the h*t minor
-    axis of [nb, q, h*t] (3-D ops only)."""
-    return jnp.concatenate(
-        [jax.nn.softmax(logits[:, :, i * t:(i + 1) * t], axis=-1)
-         for i in range(num_heads)], axis=-1)
+    axis of [nb, q, h*t], via matmul-based segment sums (SH from
+    _head_sum_matrix). Stability: subtract the GLOBAL row max — softmax is
+    shift-invariant per head, and the global max bounds every head's."""
+    nb, q, ht = logits.shape
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - m)
+    ssum = _cdot(e.reshape(nb * q, ht), sh, ((1,), (0,)), cdt)      # [nb*q, h]
+    denom = _cdot(ssum, sh, ((1,), (1,)), cdt).reshape(nb, q, ht)   # broadcast back
+    return e / (denom + 1e-30)
 
 
-def _sum_heads_masked(y: jnp.ndarray, mt: jnp.ndarray, t: int) -> jnp.ndarray:
-    """[nb, h*t, D] -> [nb, t, D]: sum_h y[:, h*t+k, :] * MT[h, :]."""
-    h = mt.shape[0]
-    acc = y[:, 0:t, :] * mt[0][None, None, :].astype(y.dtype)
+def _sum_heads_masked(y: jnp.ndarray, mask_ht: jnp.ndarray, t: int) -> jnp.ndarray:
+    """[nb, h*t, D] -> [nb, t, D]: sum_h y[:, h*t+k, :] * MASK[h*t+k, :]."""
+    h = mask_ht.shape[0] // t
+    ym = y * mask_ht[None].astype(y.dtype)
+    acc = ym[:, 0:t, :]
     for i in range(1, h):
-        acc = acc + y[:, i * t:(i + 1) * t, :] * mt[i][None, None, :].astype(y.dtype)
+        acc = acc + ym[:, i * t:(i + 1) * t, :]
     return acc
 
 
@@ -98,12 +112,13 @@ def _mhsa(q3, k3, v3, num_heads, head_dim, cdt):
     """
     nb, t, d = q3.shape
     scale = 1.0 / jnp.sqrt(jnp.asarray(head_dim, jnp.float32))
-    mt = _head_mask(num_heads, head_dim, cdt)
-    k_masked = _head_masked(k3, mt, cdt)                  # [nb, h*t, D]
-    v_masked = _head_masked(v3, mt, cdt)
+    mask_ht = _row_head_mask(t, num_heads, head_dim, cdt)
+    sh = _head_sum_matrix(t, num_heads, jnp.float32)
+    k_masked = _head_masked(k3, mask_ht, cdt)             # [nb, h*t, D]
+    v_masked = _head_masked(v3, mask_ht, cdt)
     # logits[n, q, h*t + k] = <q3[n, q], k_masked[n, h*t + k]>
     logits = _bdot(q3, k_masked, ((2,), (2,)), ((0,), (0,)), cdt) * scale
-    probs = _softmax_per_head(logits, t, num_heads)
+    probs = _softmax_per_head(logits, sh, jnp.float32)
     # out[n, q, d] = sum_{h,k} probs[n, q, h*t+k] * v_masked[n, h*t+k, d]
     return _bdot(probs, v_masked, ((2,), (1,)), ((0,), (0,)), cdt)  # [nb, t, D]
 
@@ -240,11 +255,12 @@ def _bwd_kernel(x_ref, wq_ref, wk_ref, wv_ref, w_ref, b_ref, q_ref, mask_ref,
     k3 = k.reshape(nb, t, d)
     v3 = v.reshape(nb, t, d)
     scale = 1.0 / jnp.sqrt(jnp.asarray(head_dim, jnp.float32))
-    mt = _head_mask(num_heads, head_dim, cdt)
-    k_masked = _head_masked(k3, mt, cdt)                  # [nb, h*t, d]
-    v_masked = _head_masked(v3, mt, cdt)
+    mask_ht = _row_head_mask(t, num_heads, head_dim, cdt)
+    sh = _head_sum_matrix(t, num_heads, jnp.float32)
+    k_masked = _head_masked(k3, mask_ht, cdt)             # [nb, h*t, d]
+    v_masked = _head_masked(v3, mask_ht, cdt)
     logits = _bdot(q3, k_masked, ((2,), (2,)), ((0,), (0,)), cdt) * scale
-    probs = _softmax_per_head(logits, t, num_heads)
+    probs = _softmax_per_head(logits, sh, jnp.float32)
     o = _bdot(probs, v_masked, ((2,), (1,)), ((0,), (0,)), cdt).reshape(nb * t, d)
     if keep_prob < 1.0:
         drop_scale = mask_ref[:].reshape(nb * t, d).astype(jnp.float32) / keep_prob
@@ -277,19 +293,18 @@ def _bwd_kernel(x_ref, wq_ref, wk_ref, wv_ref, w_ref, b_ref, q_ref, mask_ref,
     do3 = do.reshape(nb, t, d)
     # dprobs[n, q, h*t+k] = <do[n, q], v_masked[n, h*t+k]>
     dprobs = _bdot(do3, v_masked, ((2,), (2,)), ((0,), (0,)), cdt)
-    # dV[n, k, d] = sum_h (probs^T @ do)[n, h*t+k, d] * MT[h, d]
+    # dV[n, k, d] = sum_h (probs^T @ do)[n, h*t+k, d] * MASK[h*t+k, d]
     dv_masked = _bdot(probs, do3, ((1,), (1,)), ((0,), (0,)), cdt)
-    dv3 = _sum_heads_masked(dv_masked, mt, t)
-    # softmax backward per head slice (3-D ops only)
-    dlog_parts = []
-    for i in range(num_heads):
-        sl = slice(i * t, (i + 1) * t)
-        p, dp = probs[:, :, sl], dprobs[:, :, sl]
-        dlog_parts.append(p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True)))
-    dlogits = jnp.concatenate(dlog_parts, axis=-1) * scale
+    dv3 = _sum_heads_masked(dv_masked, mask_ht, t)
+    # softmax backward with matmul-based per-head inner products
+    pd = probs * dprobs                                    # [nb, t, ht]
+    ht = num_heads * t
+    ip = _cdot(pd.reshape(nb * t, ht), sh, ((1,), (0,)), jnp.float32)
+    ipb = _cdot(ip, sh, ((1,), (1,)), jnp.float32).reshape(nb, t, ht)
+    dlogits = probs * (dprobs - ipb) * scale
     dq3 = _bdot(dlogits, k_masked, ((2,), (1,)), ((0,), (0,)), cdt)
     dk_masked = _bdot(dlogits, q3, ((1,), (1,)), ((0,), (0,)), cdt)
-    dk3 = _sum_heads_masked(dk_masked, mt, t)
+    dk3 = _sum_heads_masked(dk_masked, mask_ht, t)
     dq_flat = dq3.reshape(nb * t, d)
     dk_flat = dk3.reshape(nb * t, d)
     dv_flat = dv3.reshape(nb * t, d)

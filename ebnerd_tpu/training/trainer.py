@@ -75,6 +75,14 @@ class TrainerConfig:
     # gradient accumulation: apply the optimizer every N micro-batches
     # (reference: fastformer/dataloader.py:198-204)
     accumulation_steps: int = 1
+    # host->device pipelining: batches are staged to device `prefetch`
+    # steps ahead on a worker thread, overlapping transfer with compute
+    prefetch: int = 2
+    # dispatch N train steps as ONE jitted lax.scan over stacked batches:
+    # amortizes per-step host dispatch (dominant on high-latency links,
+    # e.g. remote-TPU tunnels). Same math per batch; the dropout stream
+    # is folded from the step counter instead of sequential splits.
+    scan_steps: int = 1
     # eval path: "auto" scores via the two-tower article index whenever the
     # model's news encoder is user-independent (serving.py) — encode the
     # corpus once per eval instead of per impression. True forces it
@@ -188,8 +196,7 @@ class Trainer:
 
     # -- steps ------------------------------------------------------------
 
-    @partial(jax.jit, static_argnums=0, donate_argnums=1)
-    def _train_step(self, state: TrainState, raw: dict, rng) -> tuple[TrainState, jnp.ndarray]:
+    def _step_impl(self, state: TrainState, raw: dict, rng) -> tuple[TrainState, jnp.ndarray]:
         batch = self.builder(self.tables, raw)
         labels = raw["labels"]
 
@@ -217,6 +224,22 @@ class Trainer:
                           batch_stats=new_bs, opt_state=opt_state),
             loss,
         )
+
+    @partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def _train_step(self, state: TrainState, raw: dict, rng) -> tuple[TrainState, jnp.ndarray]:
+        return self._step_impl(state, raw, rng)
+
+    @partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def _train_steps_scan(self, state: TrainState, stacked: dict, rng):
+        """N train steps as one dispatch: lax.scan of the identical step
+        body over batches stacked on a leading axis. Per-step dropout keys
+        are folded from the optimizer step counter."""
+
+        def body(carry, raw):
+            step_rng = jax.random.fold_in(rng, carry.step)
+            return self._step_impl(carry, raw, step_rng)
+
+        return jax.lax.scan(body, state, stacked)
 
     @staticmethod
     def _variables(state: TrainState) -> dict:
@@ -248,6 +271,85 @@ class Trainer:
         raw = {k: v for k, v in raw.items() if k not in ("n_valid", "rows")}
         return shard_batch(raw, self.mesh)
 
+    def _put_stacked(self, raws: list[dict]) -> dict:
+        """Stack N host batches on a new leading axis and ship to device
+        ([N, B, ...]; batch axis 1 sharded over 'data')."""
+        stacked = {k: np.stack([np.asarray(r[k]) for r in raws])
+                   for k in raws[0] if k not in ("n_valid", "rows")}
+        if self.mesh is None:
+            return stacked
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        s = NamedSharding(self.mesh, P(None, "data"))
+        return {k: jax.device_put(v, s) for k, v in stacked.items()}
+
+    def _prefetched(self, items, depth: int):
+        """Stage work items ``depth`` ahead on a worker thread so host
+        batch prep + host->device transfer overlap the running step."""
+        if depth <= 0:
+            yield from items
+            return
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=depth)
+        done = object()
+        errs: list[BaseException] = []
+
+        def worker():
+            try:
+                for item in items:
+                    q.put(item)
+            except BaseException as e:  # noqa: BLE001 - re-raised on main thread
+                errs.append(e)
+            finally:
+                q.put(done)
+
+        threading.Thread(target=worker, daemon=True).start()
+        while True:
+            item = q.get()
+            if item is done:
+                break
+            yield item
+        if errs:
+            raise errs[0]
+
+    def _run_epoch(self, train_feed, steps_per_epoch) -> list[jnp.ndarray]:
+        """One epoch of train steps with prefetch; groups of
+        ``config.scan_steps`` batches dispatch as one lax.scan."""
+        import itertools
+
+        it = train_feed.epoch()
+        if steps_per_epoch is not None:
+            it = itertools.islice(it, steps_per_epoch)
+        n_scan = self.config.scan_steps
+        use_scan = n_scan > 1 and jax.process_count() == 1
+
+        def work():
+            group: list[dict] = []
+            for raw in it:
+                if not use_scan:
+                    yield ("step", self._put(raw))
+                    continue
+                group.append(raw)
+                if len(group) == n_scan:
+                    yield ("scan", self._put_stacked(group))
+                    group = []
+            for raw in group:  # remainder (< scan_steps): per-step
+                yield ("step", self._put(raw))
+
+        losses: list[jnp.ndarray] = []
+        for kind, payload in self._prefetched(work(), self.config.prefetch):
+            self._rng, step_rng = jax.random.split(self._rng)
+            if kind == "scan":
+                self.state, ls = self._train_steps_scan(self.state, payload, step_rng)
+                losses.append(ls)
+            else:
+                self.state, loss = self._train_step(self.state, payload, step_rng)
+                losses.append(loss[None])
+        return losses
+
     def fit(
         self,
         train_feed: NewsrecFeed,
@@ -277,14 +379,8 @@ class Trainer:
         lr = cfg.learning_rate
         stop = False
         for epoch in range(epochs):
-            losses = []
-            for i, raw in enumerate(train_feed.epoch()):
-                if steps_per_epoch is not None and i >= steps_per_epoch:
-                    break
-                self._rng, step_rng = jax.random.split(self._rng)
-                self.state, loss = self._train_step(self.state, self._put(raw), step_rng)
-                losses.append(loss)
-            mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
+            losses = self._run_epoch(train_feed, steps_per_epoch)
+            mean_loss = float(jnp.mean(jnp.concatenate(losses))) if losses else float("nan")
             record = {"epoch": epoch, "loss": mean_loss, "lr": lr}
             if val_feed is not None and val_labels is not None:
                 scores = self.score(val_feed)

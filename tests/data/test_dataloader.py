@@ -86,6 +86,32 @@ def test_train_feed_user_mapping(split, lookup):
     assert b["user_idx"].shape == (BS,) and b["user_idx"].max() < len(users)
 
 
+def test_unknown_user_convention(split, lookup):
+    """Unseen users map to index len(user_mapping) — the reserved fresh
+    embedding row — NOT to 0 like the reference (which aliases them with
+    a real trained user, newsrec/dataloader.py:219-224). Deliberate: see
+    data/dataloader._map_users."""
+    df = _train_df(split)
+    known = np.asarray(df[c.DEFAULT_USER_COL])
+    # a mapping that knows every user EXCEPT the first row's
+    mapping = {int(u): i for i, u in enumerate(np.unique(known[1:]))}
+    assert int(known[0]) not in mapping or known[0] in known[1:]
+    feed = NewsrecFeed(df, lookup, history_size=H, batch_size=BS,
+                       user_mapping=mapping)
+    expected_unknown = len(mapping)
+    unknown_rows = np.asarray(
+        [int(u) not in mapping for u in known])
+    np.testing.assert_array_equal(
+        feed.user_idx[unknown_rows],
+        np.full(unknown_rows.sum(), expected_unknown, np.int32))
+    # known users keep their mapped index; nothing collides with row 0
+    # unless user 0 is genuinely the first trained user
+    known_rows = ~unknown_rows
+    np.testing.assert_array_equal(
+        feed.user_idx[known_rows],
+        np.asarray([mapping[int(u)] for u in known[known_rows]], np.int32))
+
+
 def test_eval_feed_mask_invariant(split, lookup):
     df = create_binary_labels_column(ebnerd_from_path(split, history_size=H))
     feed = EvalFeed(df, lookup, history_size=H, batch_size=BS)

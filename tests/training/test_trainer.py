@@ -76,6 +76,35 @@ def test_fit_and_score_end_to_end(setup):
     assert np.isfinite(vals).all() and (vals >= 0).all() and (vals <= 1).all()
 
 
+def test_scan_steps_trains_equivalently(setup):
+    """scan_steps=4 (N steps per dispatch via lax.scan) applies the same
+    per-batch updates as the per-step path: with dropout disabled the
+    parameter trajectories are identical (the dropout STREAM differs —
+    fold_in vs sequential split — so equality is checked at dropout=0)."""
+    import jax
+
+    lookup, train_feed, _, _ = setup
+    hp = HParamsNRMS(title_size=T, history_size=H, head_num=2, head_dim=8,
+                     attention_hidden_dim=16, dropout=0.0)
+
+    def run(scan_steps):
+        model = NRMS(hp, vocab_size=VOCAB, word_emb_dim=16)
+        cfg = TrainerConfig(learning_rate=1e-3, early_stopping_patience=None,
+                            lr_patience=None, seed=0, scan_steps=scan_steps)
+        tr = Trainer(model, {"title": lookup.matrix}, token_batch, cfg,
+                     log_fn=lambda s: None)
+        train_feed._epoch = 0  # identical shuffle order for both runs
+        tr.fit(train_feed, epochs=1, steps_per_epoch=6)  # 4 scanned + 2 single
+        return tr.state
+
+    s1, s4 = run(1), run(4)
+    assert int(s1.step) == int(s4.step) == 6
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=2e-5, atol=1e-6),
+        s1.params, s4.params)
+
+
 def test_lr_plateau_and_early_stop(setup):
     lookup, train_feed, val_feed, val_labels = setup
     hp = HParamsNRMS(title_size=T, history_size=H, head_num=2, head_dim=8,
