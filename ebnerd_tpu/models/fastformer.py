@@ -33,7 +33,7 @@ from flax import linen as nn
 from .config import HParamsFastformer
 from .layers import AdditiveAttention, glorot, zeros
 
-__all__ = ["Fastformer", "FastSelfAttention", "FastformerLayer"]
+__all__ = ["Fastformer", "FastformerWu", "FastSelfAttention", "FastformerLayer"]
 
 
 def _normal(stddev: float = 0.02):
@@ -209,3 +209,73 @@ class Fastformer(nn.Module):
             [jnp.broadcast_to(user[:, None], cand_vecs.shape), cand_vecs], axis=-1
         )
         return self.output_layer(concat)[..., 0]                # [B, K]
+
+
+class FastformerWu(nn.Module):
+    """The original Wu et al. Fastformer text classifier — the reference's
+    ``Fastformer_wu`` (reference: fastformer/fastformer_wu.py:237-271 with
+    ``StandardFastformerEncoder`` :158-234): token ids -> word embedding ->
+    linear transform -> TOKEN-level position embeddings + LayerNorm +
+    dropout -> n Fastformer layers -> attention pooling -> linear head of
+    ``n_classes`` logits (the reference hardcodes 4, "likely the npratio",
+    fastformer_wu.py:250-252). The reference computes cross-entropy inside
+    ``forward``; here ``__call__`` returns raw logits and
+    ``loss_and_logits`` mirrors the reference's (loss, score) contract.
+    """
+
+    hparams: HParamsFastformer
+    vocab_size: int = 32000
+    word_emb_dim: Optional[int] = None
+    word_emb_init: Optional[Callable] = None
+    n_classes: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        hp = self.hparams
+        emb_dim = self.word_emb_dim or hp.embedding_dim
+        self.word_embedding = nn.Embed(
+            self.vocab_size, emb_dim, embedding_init=self.word_emb_init or _normal(),
+            dtype=self.dtype, name="word_embedding",
+        )
+        self.embedding_transform = nn.Dense(
+            hp.embedding_dim, kernel_init=_normal(), bias_init=zeros, dtype=self.dtype
+        )
+        self.position_embedding = nn.Embed(
+            hp.max_position, hp.embedding_dim, embedding_init=_normal(),
+            name="position_embedding",
+        )
+        self.emb_norm = nn.LayerNorm(epsilon=1e-12)
+        self.emb_drop = nn.Dropout(hp.dropout)
+        head_dim = hp.embedding_dim // hp.n_heads
+        self.layers = [
+            FastformerLayer(hp.n_heads, head_dim, hp.intermediate_dim, hp.dropout,
+                            dtype=self.dtype, name=f"layer_{i}")
+            for i in range(hp.n_layers)
+        ]
+        self.token_pool = AdditiveAttention(hp.embedding_dim, dtype=self.dtype,
+                                            name="token_pool")
+        self.output_layer = nn.Dense(self.n_classes, kernel_init=_normal(),
+                                     bias_init=zeros, dtype=self.dtype)
+
+    def __call__(self, input_ids: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """input_ids int32 [B, L] -> class logits [B, n_classes]."""
+        token_mask = (input_ids != 0).astype(self.dtype)
+        mask_bias = (1.0 - token_mask) * jnp.asarray(-1e4, self.dtype)
+        x = self.embedding_transform(self.word_embedding(input_ids))
+        pos_ids = jnp.arange(input_ids.shape[1], dtype=jnp.int32)
+        x = self.emb_norm(x + self.position_embedding(pos_ids)[None].astype(x.dtype))
+        x = self.emb_drop(x, deterministic=not train)
+        for layer in self.layers:
+            x = layer(x, mask_bias, train)
+        pooled = self.token_pool(x, mask=token_mask)
+        return self.output_layer(pooled)
+
+    def loss_and_logits(self, input_ids: jnp.ndarray, targets: jnp.ndarray,
+                        train: bool = False):
+        """The reference forward's (loss, score) contract
+        (fastformer_wu.py:264-271): mean softmax cross-entropy against
+        integer class targets."""
+        logits = self(input_ids, train=train)
+        logp = nn.log_softmax(logits, axis=-1)
+        loss = -jnp.mean(jnp.take_along_axis(logp, targets[:, None], axis=-1))
+        return loss, logits

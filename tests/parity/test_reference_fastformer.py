@@ -118,3 +118,87 @@ def test_flax_fastformer_matches_reference_torch(reference_model):
     )
     our_scores = np.asarray(jax.nn.sigmoid(logits[:, 0]))
     np.testing.assert_allclose(our_scores, ref_scores, atol=1e-4)
+
+
+def test_flax_fastformer_wu_matches_reference_torch():
+    """Original Wu classifier variant (token-level positions, n-class CE
+    head; reference: fastformer_wu.py:237-271)."""
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, REFERENCE_SRC)
+    from ebrec.models.fastformer.fastformer_wu import Fastformer_wu
+
+    class Cfg:
+        hidden_size = D
+        num_attention_heads = HEADS
+        num_hidden_layers = LAYERS
+        intermediate_size = INTER
+        hidden_dropout_prob = 0.0
+        attention_probs_dropout_prob = 0.0
+        max_position_embeddings = 64
+        layer_norm_eps = 1e-12
+        initializer_range = 0.02
+        pooler_type = "weightpooler"
+        vocab_size = VOCAB
+        hidden_act = "gelu"
+
+    torch.manual_seed(1)
+    emb = torch.nn.Embedding(VOCAB, EMB)
+    ref = Fastformer_wu(Cfg, word_embedding=emb)
+    ref.eval()
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    lin = lambda p: {"kernel": sd[p + ".weight"].T, "bias": sd[p + ".bias"]}
+    ln = lambda p: {"scale": sd[p + ".weight"], "bias": sd[p + ".bias"]}
+    pool = lambda p: {"W": sd[p + ".att_fc1.weight"].T, "b": sd[p + ".att_fc1.bias"],
+                      "q": sd[p + ".att_fc2.weight"].T}
+    params = {
+        "word_embedding": {"embedding": sd["word_embedding.weight"]},
+        "embedding_transform": lin("embedding_transform"),
+        "position_embedding": {
+            "embedding": sd["fastformer_model.position_embeddings.weight"]},
+        "emb_norm": ln("fastformer_model.LayerNorm"),
+        "token_pool": pool("fastformer_model.poolers.0"),
+        "output_layer": lin("output_layer"),
+    }
+    for i in range(LAYERS):
+        p = f"fastformer_model.encoders.{i}"
+        params[f"layer_{i}"] = {
+            "FastSelfAttention_0": {
+                "query": lin(p + ".attention.self.query"),
+                "query_att": lin(p + ".attention.self.query_att"),
+                "key": lin(p + ".attention.self.key"),
+                "key_att": lin(p + ".attention.self.key_att"),
+                "transform": lin(p + ".attention.self.transform"),
+            },
+            "att_out": {
+                "Dense_0": lin(p + ".attention.output.dense"),
+                "LayerNorm_0": ln(p + ".attention.output.LayerNorm"),
+            },
+            "Dense_0": lin(p + ".intermediate.dense"),
+            "ffn_out": {
+                "Dense_0": lin(p + ".output.dense"),
+                "LayerNorm_0": ln(p + ".output.LayerNorm"),
+            },
+        }
+
+    from ebnerd_tpu.models.config import HParamsFastformer
+    from ebnerd_tpu.models.fastformer import FastformerWu
+
+    rng = np.random.default_rng(5)
+    ids = rng.integers(1, VOCAB, (6, T)).astype(np.int64)
+    targets = rng.integers(0, 4, 6).astype(np.int64)
+    with torch.no_grad():
+        ref_loss, ref_scores = ref(torch.from_numpy(ids), torch.from_numpy(targets))
+
+    hp = HParamsFastformer(embedding_dim=D, n_layers=LAYERS, n_heads=HEADS,
+                           intermediate_dim=INTER, max_position=64, dropout=0.0)
+    ours = FastformerWu(hp, vocab_size=VOCAB, word_emb_dim=EMB, n_classes=4)
+    loss, logits = ours.apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, params)},
+        jnp.asarray(ids.astype(np.int32)), jnp.asarray(targets.astype(np.int32)),
+        method=FastformerWu.loss_and_logits,
+    )
+    np.testing.assert_allclose(np.asarray(logits), ref_scores.numpy(), atol=1e-4)
+    np.testing.assert_allclose(float(loss), float(ref_loss), atol=1e-5)
