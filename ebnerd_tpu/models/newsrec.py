@@ -201,9 +201,10 @@ class NRMS(nn.Module):
         keep = 1.0 - hp.dropout if (train and with_dropout and hp.dropout > 0) else 1.0
         d = hp.head_num * hp.head_dim
         if keep < 1.0:
+            # bf16 mask: exact 0/1 values at half the HBM traffic of fp32
             mask = jax.random.bernoulli(
                 self.make_rng("dropout"), keep, (x.shape[0], x.shape[1], d)
-            ).astype(jnp.float32)
+            ).astype(jnp.bfloat16)
         else:
             mask = jnp.ones((8, 128), jnp.float32)
         wq, wk, wv = att()

@@ -63,16 +63,17 @@ def _head_sum_matrix(t: int, num_heads: int, cdt) -> jnp.ndarray:
 def _head_masked(x3: jnp.ndarray, mask_ht: jnp.ndarray, cdt) -> jnp.ndarray:
     """[nb, t, D] -> [nb, h*t, D] with row (h*t + k) = x3[:, k] * head-mask h.
 
-    One concat + one VPU multiply; no transposes. Turns per-head
+    One tile-repeat + one VPU multiply; no transposes. Turns per-head
     attention into ONE batched matmul with a D-wide contraction (see
     _mhsa): the head mask zeroes cross-head terms, so
     sum_d q[d] * (k[d] * MASK[h*t+k, d]) = the head-h dot product.
     All ops stay 3-D (Mosaic, as deployed here, rejects 4-D
-    broadcasts/reshapes).
+    broadcasts/reshapes); pltpu.repeat tiles along the row axis in one op
+    (a 20-operand concat made Mosaic compile times explode with block_n).
     """
     h = mask_ht.shape[0] // x3.shape[1]
     xc = x3.astype(cdt)
-    return jnp.concatenate([xc] * h, axis=1) * mask_ht[None]
+    return pltpu.repeat(xc, h, axis=1) * mask_ht[None]
 
 
 def _softmax_per_head(logits: jnp.ndarray, sh: jnp.ndarray, cdt) -> jnp.ndarray:
@@ -123,15 +124,40 @@ def _mhsa(q3, k3, v3, num_heads, head_dim, cdt):
     return _bdot(probs, v_masked, ((2,), (1,)), ((0,), (0,)), cdt)  # [nb, t, D]
 
 
-def _kernel(x_ref, wq_ref, wk_ref, wv_ref, w_ref, b_ref, q_ref, mask_ref,
-            out_ref, *, num_heads: int, head_dim: int, keep_prob: float,
-            cdt: jnp.dtype):
+def _qkv_stride(d: int) -> int:
+    """Lane-aligned stride for one projection inside the packed QKV weight
+    (slices at multiples of 128 avoid relayouts)."""
+    return -(-d // 128) * 128
+
+
+def _pack_qkv(wq, wk, wv, cdt) -> jnp.ndarray:
+    """[din, d] x3 -> [din, 3*stride] zero-padded packed weight. ONE wide
+    matmul instead of three narrow ones: measured on v5e, a
+    [*,1024]@[1024,400] GEMM runs at ~25 TFLOP/s while ~1200-wide output
+    reaches ~58 — narrow-N output is the bottleneck, not FLOPs."""
+    d = wq.shape[1]
+    s = _qkv_stride(d)
+    pad = ((0, 0), (0, s - d))
+    return jnp.concatenate(
+        [jnp.pad(w, pad) for w in (wq, wk, wv)], axis=1).astype(cdt)
+
+
+def _kernel(x_ref, wqkv_ref, w_ref, b_ref, q_ref, mask_ref,
+            out_ref, *, num_heads: int, head_dim: int,
+            keep_prob: float, cdt: jnp.dtype):
+    """Forward block: packed QKV GEMM -> masked-matmul attention ->
+    additive pooling, everything in VMEM. (A stored-residual variant that
+    wrote qkv+probs to HBM for the backward was measured SLOWER than the
+    recompute backward — the extra per-block DMA cost more than the
+    well-overlapped recompute matmuls saved.)"""
     nb, t, din = x_ref.shape
     d = num_heads * head_dim
+    s = _qkv_stride(d)
     x = x_ref[:].reshape(nb * t, din)
-    q = _cdot(x, wq_ref[:], ((1,), (0,)), cdt)
-    k = _cdot(x, wk_ref[:], ((1,), (0,)), cdt)
-    v = _cdot(x, wv_ref[:], ((1,), (0,)), cdt)
+    qkv = _cdot(x, wqkv_ref[:], ((1,), (0,)), cdt)        # [nb*t, 3s]
+    q = qkv[:, 0:d]
+    k = qkv[:, s:s + d]
+    v = qkv[:, 2 * s:2 * s + d]
     o = _mhsa(q.reshape(nb, t, d), k.reshape(nb, t, d), v.reshape(nb, t, d),
               num_heads, head_dim, cdt).reshape(nb * t, d)
     if keep_prob < 1.0:
@@ -145,12 +171,9 @@ def _kernel(x_ref, wq_ref, wk_ref, wv_ref, w_ref, b_ref, q_ref, mask_ref,
     att = att - jnp.max(att, axis=-1, keepdims=True)
     expo = jnp.exp(att)
     weight = expo / (jnp.sum(expo, axis=-1, keepdims=True) + 1e-8)    # [nb, t]
-    pooled = jax.lax.dot_general(
-        weight.reshape(nb, 1, t), o.reshape(nb, t, d),
-        (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )                                                     # [nb, 1, d]
-    out_ref[:] = pooled.reshape(nb, d)
+    # VPU weighted sum over t (an M=1 batched dot wastes 7/8 MXU sublanes)
+    pooled = jnp.sum(o.reshape(nb, t, d) * weight[..., None], axis=1)
+    out_ref[:] = pooled.astype(jnp.float32)
 
 
 @partial(jax.jit, static_argnames=("num_heads", "block_n", "interpret",
@@ -186,6 +209,8 @@ def fused_news_encoder(
     if d % num_heads:
         raise ValueError(f"d={d} not divisible by num_heads={num_heads}")
     head_dim = d // num_heads
+    s = _qkv_stride(d)
+    wqkv = _pack_qkv(wq, wk, wv, jnp.dtype(compute_dtype))
     n_pad = -(-n // block_n) * block_n
     with_dropout = drop_mask is not None and keep_prob < 1.0
     if not with_dropout:
@@ -203,17 +228,16 @@ def fused_news_encoder(
         if with_dropout:
             drop_mask = jnp.pad(drop_mask, ((0, n_pad - n), (0, 0), (0, 0)))
     grid = (n_pad // block_n,)
+    cdt = jnp.dtype(compute_dtype)
     out = pl.pallas_call(
         partial(_kernel, num_heads=num_heads, head_dim=head_dim,
-                keep_prob=float(keep_prob), cdt=jnp.dtype(compute_dtype)),
+                keep_prob=float(keep_prob), cdt=cdt),
         out_shape=jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_n, t, din), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((din, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((din, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((din, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((din, 3 * s), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((d, w_att.shape[1]), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((w_att.shape[1],), lambda i: (0,),
@@ -227,33 +251,35 @@ def fused_news_encoder(
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(x, wq, wk, wv, w_att, b_att, q_att, drop_mask)
+    )(x, wqkv, w_att, b_att, q_att, drop_mask)
     return out[:n]
 
 
-def _bwd_kernel(x_ref, wq_ref, wk_ref, wv_ref, w_ref, b_ref, q_ref, mask_ref,
-                g_ref,
-                dx_ref, dwq_ref, dwk_ref, dwv_ref, dw_ref, db_ref, dq_ref,
+def _bwd_kernel(x_ref, wqkv_ref, w_ref, b_ref, q_ref,
+                mask_ref, g_ref,
+                dx_ref, dwqkv_ref, dw_ref, db_ref, dq_ref,
                 *, num_heads: int, head_dim: int, keep_prob: float,
                 cdt: jnp.dtype):
     """Recompute-forward backward pass for one article block; weight grads
-    accumulate across sequential grid steps into revisited output blocks."""
+    accumulate across sequential grid steps into revisited output blocks.
+    (Recompute beats stored residuals here: reading stored qkv+probs
+    blocks from HBM measured slower than redoing the well-overlapped
+    matmuls.)"""
     nb, t, din = x_ref.shape
     d = num_heads * head_dim
+    s = _qkv_stride(d)
     is_first = pl.program_id(0) == 0
 
     x = x_ref[:].reshape(nb * t, din)
-    wq_w, wk_w, wv_w = wq_ref[:], wk_ref[:], wv_ref[:]
+    wqkv = wqkv_ref[:]
     w_att, b_att, q_att = w_ref[:], b_ref[:], q_ref[:]
     g = g_ref[:]                                           # [nb, d]
 
     # ---- recompute forward (masked-matmul attention; see _mhsa) ----
-    q = _cdot(x, wq_w, ((1,), (0,)), cdt)
-    k = _cdot(x, wk_w, ((1,), (0,)), cdt)
-    v = _cdot(x, wv_w, ((1,), (0,)), cdt)
-    q3 = q.reshape(nb, t, d)
-    k3 = k.reshape(nb, t, d)
-    v3 = v.reshape(nb, t, d)
+    qkv = _cdot(x, wqkv, ((1,), (0,)), cdt)               # [nb*t, 3s]
+    q3 = qkv[:, 0:d].reshape(nb, t, d)
+    k3 = qkv[:, s:s + d].reshape(nb, t, d)
+    v3 = qkv[:, 2 * s:2 * s + d].reshape(nb, t, d)
     scale = 1.0 / jnp.sqrt(jnp.asarray(head_dim, jnp.float32))
     mask_ht = _row_head_mask(t, num_heads, head_dim, cdt)
     sh = _head_sum_matrix(t, num_heads, jnp.float32)
@@ -309,29 +335,29 @@ def _bwd_kernel(x_ref, wq_ref, wk_ref, wv_ref, w_ref, b_ref, q_ref, mask_ref,
     dk_flat = dk3.reshape(nb * t, d)
     dv_flat = dv3.reshape(nb * t, d)
 
-    # ---- projection backward ----
-    dwq_acc = _cdot(x.T, dq_flat, ((1,), (0,)), cdt)
-    dwk_acc = _cdot(x.T, dk_flat, ((1,), (0,)), cdt)
-    dwv_acc = _cdot(x.T, dv_flat, ((1,), (0,)), cdt)
-    dx = (_cdot(dq_flat, wq_w.T, ((1,), (0,)), cdt)
-          + _cdot(dk_flat, wk_w.T, ((1,), (0,)), cdt)
-          + _cdot(dv_flat, wv_w.T, ((1,), (0,)), cdt))
+    # ---- projection backward (packed, one wide matmul each way) ----
+    if s == d:
+        dqkv = jnp.concatenate([dq_flat, dk_flat, dv_flat], axis=1)
+    else:
+        zpad = jnp.zeros((nb * t, s - d), dq_flat.dtype)
+        dqkv = jnp.concatenate(
+            [dq_flat, zpad, dk_flat, zpad, dv_flat, zpad], axis=1)
+    dwqkv_acc = _cdot(x.T, dqkv, ((1,), (0,)), cdt)       # [din, 3s]
+    # dx = dqkv @ wqkv^T, expressed as contraction over both minor dims
+    # (padding columns hit wqkv's zero columns, contributing nothing)
+    dx = _cdot(dqkv, wqkv, ((1,), (1,)), cdt)             # [nb*t, din]
     dx_ref[:] = dx.reshape(nb, t, din).astype(dx_ref.dtype)
 
     @pl.when(is_first)
     def _():
-        dwq_ref[:] = dwq_acc
-        dwk_ref[:] = dwk_acc
-        dwv_ref[:] = dwv_acc
+        dwqkv_ref[:] = dwqkv_acc
         dw_ref[:] = dw_acc
         db_ref[:] = db_acc
         dq_ref[:] = dq_acc
 
     @pl.when(jnp.logical_not(is_first))
     def _():
-        dwq_ref[:] += dwq_acc
-        dwk_ref[:] += dwk_acc
-        dwv_ref[:] += dwv_acc
+        dwqkv_ref[:] += dwqkv_acc
         dw_ref[:] += dw_acc
         db_ref[:] += db_acc
         dq_ref[:] += dq_acc
@@ -370,9 +396,11 @@ def _news_encoder_bwd(num_heads, block_n, interpret, keep_prob, compute_dtype,
     d = wq.shape[1]
     a = w_att.shape[1]
     head_dim = d // num_heads
+    s = _qkv_stride(d)
+    wqkv = _pack_qkv(wq, wk, wv, jnp.dtype(compute_dtype))
     # the backward holds q/k/v + grads + weight-grad accumulators in VMEM;
-    # smaller article blocks than the forward keep it under the 16MB limit
-    block_n = min(block_n, 8)
+    # smaller article blocks than the forward keep it under the VMEM limit
+    block_n = min(block_n, 16)
     n_pad = -(-n // block_n) * block_n
     with_dropout = keep_prob < 1.0
     if with_dropout:
@@ -395,9 +423,7 @@ def _news_encoder_bwd(num_heads, block_n, interpret, keep_prob, compute_dtype,
                 keep_prob=float(keep_prob), cdt=jnp.dtype(compute_dtype)),
         out_shape=(
             jax.ShapeDtypeStruct((n_pad, t, din), x.dtype),  # dx
-            jax.ShapeDtypeStruct((din, d), jnp.float32),
-            jax.ShapeDtypeStruct((din, d), jnp.float32),
-            jax.ShapeDtypeStruct((din, d), jnp.float32),
+            jax.ShapeDtypeStruct((din, 3 * s), jnp.float32),  # packed dwqkv
             jax.ShapeDtypeStruct((d, a), jnp.float32),
             jax.ShapeDtypeStruct((a,), jnp.float32),
             jax.ShapeDtypeStruct((a, 1), jnp.float32),
@@ -406,7 +432,7 @@ def _news_encoder_bwd(num_heads, block_n, interpret, keep_prob, compute_dtype,
         in_specs=[
             pl.BlockSpec((block_n, t, din), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            full(din, d), full(din, d), full(din, d),
+            full(din, 3 * s),
             full(d, a), full(a), full(a, 1),
             mask_spec,
             pl.BlockSpec((block_n, d), lambda i: (i, 0),
@@ -415,14 +441,17 @@ def _news_encoder_bwd(num_heads, block_n, interpret, keep_prob, compute_dtype,
         out_specs=(
             pl.BlockSpec((block_n, t, din), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            full(din, d), full(din, d), full(din, d),
+            full(din, 3 * s),
             full(d, a), full(a), full(a, 1),
         ),
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(x, wq, wk, wv, w_att, b_att, q_att, drop_mask, g)
-    dx, dwq, dwk, dwv, dw, db, dq = outs
+    )(x, wqkv, w_att, b_att, q_att, drop_mask, g)
+    dx, dwqkv, dw, db, dq = outs
+    dwq = dwqkv[:, 0:d]
+    dwk = dwqkv[:, s:s + d]
+    dwv = dwqkv[:, 2 * s:2 * s + d]
     return (dx[:n], dwq, dwk, dwv, dw, db, dq,
             jnp.zeros_like(residuals[7]))
 

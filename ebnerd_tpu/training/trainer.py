@@ -83,6 +83,11 @@ class TrainerConfig:
     # e.g. remote-TPU tunnels). Same math per batch; the dropout stream
     # is folded from the step counter instead of sequential splits.
     scan_steps: int = 1
+    # PRNG implementation for the dropout stream. 'rbg' (XLA
+    # RngBitGenerator) generates mask bits ~5x faster than threefry on
+    # TPU — measured 3ms vs 14ms for the NRMS embedding-dropout mask at
+    # bs512 — at the cost of a different (still deterministic) stream.
+    rng_impl: str = "rbg"
     # eval path: "auto" scores via the two-tower article index whenever the
     # model's news encoder is user-independent (serving.py) — encode the
     # corpus once per eval instead of per impression. True forces it
@@ -145,7 +150,7 @@ class Trainer:
             self.tx = optax.MultiSteps(self.tx, every_k_schedule=config.accumulation_steps)
         self.loss_fn = loss_fn_for(config.loss)
         self.state: Optional[TrainState] = None
-        self._rng = jax.random.key(config.seed)
+        self._rng = jax.random.key(config.seed, impl=config.rng_impl)
         if mesh is not None and jax.process_count() == 1:
             # multi-controller runs keep the key host-side: every process
             # derives the identical stream, and jit treats the host value

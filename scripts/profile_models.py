@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Per-model train-step timing on the attached device (chained scan timer).
+
+VERDICT r1 item 8: is LSTUR's GRU scan or NPA's personalized attention hot
+enough to deserve a Pallas kernel? This measures full train-step time for
+each model family at the reproduction config so the decision is recorded
+with numbers (see ops notes in STATUS.md).
+
+  python scripts/profile_models.py [nrms lstur npa naml fastformer]
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ebnerd_tpu.models import config as mcfg
+from ebnerd_tpu.models.fastformer import Fastformer
+from ebnerd_tpu.models.inputs import builder_for
+from ebnerd_tpu.models.newsrec import LSTUR, NAML, NPA, NRMS
+
+BS = int(os.environ.get("PM_BS", "512"))
+H, T, K = 20, 30, 5
+STEPS = 10
+VOCAB, EMB = 250_002, 1_024
+N_ART = 25_001
+N_USERS = 50_000
+DTYPE = jnp.bfloat16
+
+
+def timed(fn, *args):
+    @jax.jit
+    def loop(*a):
+        leaves0, treedef0 = jax.tree_util.tree_flatten(a[0])
+        fidx = next(i for i, l in enumerate(leaves0)
+                    if jnp.issubdtype(l.dtype, jnp.floating))
+
+        def body(carry, _):
+            leaves = list(leaves0)
+            leaves[fidx] = leaves[fidx] + carry.astype(leaves[fidx].dtype)
+            first = jax.tree_util.tree_unflatten(treedef0, leaves)
+            out = fn(first, *a[1:])
+            probe = sum(l.ravel()[0].astype(jnp.float32)
+                        for l in jax.tree_util.tree_leaves(out)
+                        if hasattr(l, "ravel") and l.size)
+            return (probe * 1e-30).astype(jnp.float32), ()
+
+        c, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None, length=STEPS)
+        return c
+
+    _ = float(loop(*args))
+    t0 = time.perf_counter()
+    _ = float(loop(*args))
+    return (time.perf_counter() - t0) / STEPS * 1000.0
+
+
+def build(name):
+    common = dict(vocab_size=VOCAB, word_emb_dim=EMB, dtype=DTYPE)
+    if name == "nrms":
+        return NRMS(mcfg.HParamsNRMS(), **common)
+    if name == "lstur":
+        return LSTUR(mcfg.HParamsLSTUR(n_users=N_USERS), **common)
+    if name == "npa":
+        return NPA(mcfg.HParamsNPA(n_users=N_USERS), **common)
+    if name == "naml":
+        return NAML(mcfg.HParamsNAML(), **common)
+    if name == "fastformer":
+        return Fastformer(mcfg.HParamsFastformer(), **common)
+    raise ValueError(name)
+
+
+def main():
+    which = sys.argv[1:] or ["nrms", "lstur", "npa", "naml", "fastformer"]
+    r = np.random.default_rng(0)
+    tables = {
+        "title": jnp.asarray(r.integers(0, VOCAB, (N_ART, T)).astype(np.int32)),
+        "body": jnp.asarray(r.integers(0, VOCAB, (N_ART, 40)).astype(np.int32)),
+        "cat": jnp.asarray(r.integers(0, 30, N_ART).astype(np.int32)),
+        "subcat": jnp.asarray(r.integers(0, 200, N_ART).astype(np.int32)),
+    }
+    print(f"bs={BS} device={jax.devices()[0]} dtype=bf16")
+    for name in which:
+        model = build(name)
+        builder = builder_for(name if name != "fastformer" else "fastformer")
+        raw = {
+            "hist_idx": jnp.asarray(r.integers(0, N_ART, (BS, H)).astype(np.int32)),
+            "cand_idx": jnp.asarray(r.integers(0, N_ART, (BS, K)).astype(np.int32)),
+        }
+        if name in ("lstur", "npa"):
+            raw["user_idx"] = jnp.asarray(
+                r.integers(0, N_USERS, BS).astype(np.int32))
+        labels = jnp.zeros((BS, K)).at[:, 0].set(1.0)
+        batch = builder(tables, raw)
+        variables = model.init(jax.random.key(0), batch, train=False)
+        params = variables["params"]
+        tx = optax.adam(1e-4)
+        opt_state = tx.init(params)
+
+        def loss_fn(p, rw):
+            logits = model.apply({"params": p}, builder(tables, rw), train=True,
+                                 rngs={"dropout": jax.random.key(1)})
+            logp = jax.nn.log_softmax(logits, -1)
+            return -jnp.mean(jnp.sum(labels * logp, -1))
+
+        @jax.jit
+        def step(p, s, rw):
+            loss, grads = jax.value_and_grad(loss_fn)(p, rw)
+            updates, s2 = tx.update(grads, s, p)
+            return optax.apply_updates(p, updates), s2, loss
+
+        try:
+            ms = timed(step, params, opt_state, raw)
+            print(f"{name:12s} full train step {ms:8.2f} ms/step "
+                  f"{BS / ms * 1000:9.0f} imp/s", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"{name:12s} FAILED: {type(e).__name__}: {str(e)[:140]}",
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()
