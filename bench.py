@@ -88,7 +88,8 @@ def main() -> None:
     fused = os.environ.get("BENCH_FUSED", "1") != "0"
     fused_block = int(os.environ.get("BENCH_FUSED_BLOCK", "16"))
 
-    hp = HParamsNRMS()  # title 30, hist 20, 20x20 heads, attn 200
+    dropout = float(os.environ.get("BENCH_DROPOUT", "0.2"))
+    hp = HParamsNRMS(dropout=dropout)  # title 30, hist 20, 20x20 heads, attn 200
     model = NRMS(hp, vocab_size=VOCAB, word_emb_dim=EMB, dtype=dtype,
                  use_fused_encoder=fused, fused_block_n=fused_block)
     rng = np.random.default_rng(0)
