@@ -164,6 +164,12 @@ class NRMS(nn.Module):
     use_fused_encoder: bool = False
     fused_block_n: int = 16
     fused_interpret: bool = False  # interpret-mode kernels (CPU tests)
+    # training dropout masks from the kernel's ON-CHIP PRNG instead of
+    # host-side bernoulli tensors: no mask generation or HBM mask traffic,
+    # and the embedding dropout moves inside the kernel too. Different
+    # (still deterministic-per-seed) stream than jax.random. Compiled TPU
+    # only — interpret mode falls back to the mask path automatically.
+    fused_rng_dropout: bool = True
 
     def setup(self):
         hp = self.hparams
@@ -193,14 +199,30 @@ class NRMS(nn.Module):
         self.user_self_att = SelfAttention(hp.head_num, hp.head_dim, dtype=self.dtype)
         self.user_pool = AdditiveAttention(hp.attention_hidden_dim, dtype=self.dtype)
 
+    def _rng_dropout_active(self, train: bool) -> bool:
+        return (self.use_fused_encoder and self.fused_rng_dropout
+                and not self.fused_interpret and train
+                and self.hparams.dropout > 0)
+
     def _fused(self, x: jnp.ndarray, att: "_SelfAttParams", pool: "_PoolParams",
-               train: bool, with_dropout: bool) -> jnp.ndarray:
+               train: bool, with_dropout: bool,
+               emb_dropout_in_kernel: bool = False) -> jnp.ndarray:
         from ..ops.news_encoder import news_encoder
 
         hp = self.hparams
         keep = 1.0 - hp.dropout if (train and with_dropout and hp.dropout > 0) else 1.0
         d = hp.head_num * hp.head_dim
-        if keep < 1.0:
+        seed = None
+        emb_keep = 1.0
+        if keep < 1.0 and self._rng_dropout_active(train):
+            # on-chip PRNG masks; one int32 seed per step from the jax
+            # dropout stream
+            seed = jax.random.randint(self.make_rng("dropout"), (1,), 0,
+                                      jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+            mask = jnp.ones((8, 128), jnp.float32)  # unused in rng mode
+            if emb_dropout_in_kernel:
+                emb_keep = keep
+        elif keep < 1.0:
             # bf16 mask: exact 0/1 values at half the HBM traffic of fp32
             mask = jax.random.bernoulli(
                 self.make_rng("dropout"), keep, (x.shape[0], x.shape[1], d)
@@ -214,20 +236,25 @@ class NRMS(nn.Module):
         # fp32 models keep full fp32 numerics
         compute = "bfloat16" if self.dtype == jnp.bfloat16 else "float32"
         x_in = x if compute == "bfloat16" else x.astype(jnp.float32)
-        return news_encoder(x_in, wq, wk, wv, w, b, q, mask,
+        return news_encoder(x_in, wq, wk, wv, w, b, q, mask, seed,
                             hp.head_num, self.fused_block_n,
                             self.fused_interpret, keep,
-                            compute).astype(self.dtype)
+                            compute, emb_keep).astype(self.dtype)
 
     def encode_news(self, tokens: jnp.ndarray, train: bool) -> jnp.ndarray:
         """tokens [N, T] -> news vectors [N, head_num*head_dim]
         (reference news encoder, nrms.py:116-159)."""
         hp = self.hparams
         x = self.embedding(tokens)
-        x = self.drop(x, deterministic=not train)
+        rng_drop = self._rng_dropout_active(train) if self.use_fused_encoder else False
+        if not rng_drop:
+            x = self.drop(x, deterministic=not train)
         if self.use_fused_encoder:
+            # rng_drop: the kernel applies BOTH the embedding dropout and
+            # the attention->pooling dropout from its on-chip PRNG
             return self._fused(x, self.news_self_att, self.news_pool,
-                               train, with_dropout=True)
+                               train, with_dropout=True,
+                               emb_dropout_in_kernel=rng_drop)
         x = self.news_self_att(x, x, x)
         if hp.newsencoder_units_per_layer:
             x = self.news_dense(x, train)

@@ -142,18 +142,48 @@ def _pack_qkv(wq, wk, wv, cdt) -> jnp.ndarray:
         [jnp.pad(w, pad) for w in (wq, wk, wv)], axis=1).astype(cdt)
 
 
+def _prng_mask(seed, stream: int, gsub0, n_sub: int, rows8: int, width: int,
+               keep: float) -> jnp.ndarray:
+    """Deterministic inverted-dropout mask [n_sub*rows8, width] from the
+    on-chip PRNG, seeded per GLOBAL 8-article sub-block so the recompute
+    backward regenerates the identical mask regardless of its block size
+    (both block sizes are multiples of 8). ``stream`` separates the
+    embedding-dropout and attention-out-dropout masks."""
+    thr = jnp.uint32(int(keep * (1 << 24)))
+    parts = []
+    for i in range(n_sub):
+        pltpu.prng_seed(seed, jnp.int32(stream), gsub0 + i)
+        bits = pltpu.bitcast(pltpu.prng_random_bits((rows8, width)), jnp.uint32)
+        parts.append(((bits >> 8) < thr).astype(jnp.float32))
+    m = parts[0] if n_sub == 1 else jnp.concatenate(parts, axis=0)
+    return m / keep
+
+
 def _kernel(x_ref, wqkv_ref, w_ref, b_ref, q_ref, mask_ref,
             out_ref, *, num_heads: int, head_dim: int,
-            keep_prob: float, cdt: jnp.dtype):
+            keep_prob: float, cdt: jnp.dtype,
+            rng_dropout: bool = False, emb_keep: float = 1.0):
     """Forward block: packed QKV GEMM -> masked-matmul attention ->
     additive pooling, everything in VMEM. (A stored-residual variant that
     wrote qkv+probs to HBM for the backward was measured SLOWER than the
     recompute backward — the extra per-block DMA cost more than the
-    well-overlapped recompute matmuls saved.)"""
+    well-overlapped recompute matmuls saved.)
+
+    ``rng_dropout``: masks come from the on-chip PRNG (mask_ref holds the
+    (1,1) int32 seed in SMEM) instead of an HBM mask tensor — no mask
+    generation or traffic outside the kernel; ``emb_keep`` additionally
+    applies the reference's EMBEDDING dropout (nrms.py:136) to x inside
+    the kernel."""
     nb, t, din = x_ref.shape
     d = num_heads * head_dim
     s = _qkv_stride(d)
     x = x_ref[:].reshape(nb * t, din)
+    if rng_dropout:
+        seed = mask_ref[0, 0]
+        gsub0 = pl.program_id(0) * (nb // 8)
+        if emb_keep < 1.0:
+            xm = _prng_mask(seed, 0, gsub0, nb // 8, 8 * t, din, emb_keep)
+            x = (x.astype(jnp.float32) * xm).astype(cdt)
     qkv = _cdot(x, wqkv_ref[:], ((1,), (0,)), cdt)        # [nb*t, 3s]
     q = qkv[:, 0:d]
     k = qkv[:, s:s + d]
@@ -163,7 +193,10 @@ def _kernel(x_ref, wqkv_ref, w_ref, b_ref, q_ref, mask_ref,
     if keep_prob < 1.0:
         # inverted dropout between attention and pooling (the reference's
         # training-mode Dropout, nrms.py:154)
-        o = o * mask_ref[:].reshape(nb * t, d).astype(jnp.float32) / keep_prob
+        if rng_dropout:
+            o = o * _prng_mask(seed, 1, gsub0, nb // 8, 8 * t, d, keep_prob)
+        else:
+            o = o * mask_ref[:].reshape(nb * t, d).astype(jnp.float32) / keep_prob
     # additive attention pooling over t
     att = jnp.tanh(_cdot(o, w_ref[:], ((1,), (0,)), cdt) + b_ref[:])
     att = _cdot(att, q_ref[:], ((1,), (0,)), cdt)         # [nb*t, 1]
@@ -177,7 +210,8 @@ def _kernel(x_ref, wqkv_ref, w_ref, b_ref, q_ref, mask_ref,
 
 
 @partial(jax.jit, static_argnames=("num_heads", "block_n", "interpret",
-                                   "keep_prob", "compute_dtype"))
+                                   "keep_prob", "compute_dtype",
+                                   "emb_keep_prob"))
 def fused_news_encoder(
     x: jnp.ndarray,
     wq: jnp.ndarray,
@@ -193,12 +227,21 @@ def fused_news_encoder(
     drop_mask: jnp.ndarray | None = None,
     keep_prob: float = 1.0,
     compute_dtype: str = "float32",
+    rng_seed: jnp.ndarray | None = None,
+    emb_keep_prob: float = 1.0,
 ) -> jnp.ndarray:
     """x [N, T, Din] (fp32 or bf16), projections [Din, D], pooling params
     ([D, A], [A], [A, 1]) -> pooled article vectors [N, D] fp32.
 
-    ``drop_mask`` [N, T, D] bool + ``keep_prob`` apply the reference's
-    training-mode dropout between attention and pooling.
+    Dropout, two ways:
+    - ``drop_mask`` [N, T, D] 0/1 + ``keep_prob``: the reference's
+      attention->pooling dropout with an externally generated mask
+      (works in interpret mode).
+    - ``rng_seed`` (int32, any shape-1) + ``keep_prob``/``emb_keep_prob``:
+      masks from the ON-CHIP PRNG — no host mask generation or HBM mask
+      traffic; ``emb_keep_prob`` also applies the reference's embedding
+      dropout (nrms.py:136) inside the kernel. Deterministic per seed.
+      Compiled TPU only (Mosaic PRNG has no interpret lowering).
     ``compute_dtype="bfloat16"`` runs every matmul with bf16 operands and
     fp32 accumulation — the MXU's native rate — matching the numerics of
     the unfused bf16 path (flax modules with dtype=bfloat16).
@@ -212,8 +255,17 @@ def fused_news_encoder(
     s = _qkv_stride(d)
     wqkv = _pack_qkv(wq, wk, wv, jnp.dtype(compute_dtype))
     n_pad = -(-n // block_n) * block_n
-    with_dropout = drop_mask is not None and keep_prob < 1.0
-    if not with_dropout:
+    rng_dropout = rng_seed is not None and (keep_prob < 1.0 or emb_keep_prob < 1.0)
+    if rng_dropout and block_n % 8:
+        # the PRNG masks are seeded per 8-article sub-block so forward and
+        # backward (possibly different block sizes) regenerate identically
+        raise ValueError(f"rng dropout needs block_n % 8 == 0, got {block_n}")
+    with_dropout = (not rng_dropout) and drop_mask is not None and keep_prob < 1.0
+    if rng_dropout:
+        drop_mask = jnp.asarray(rng_seed, jnp.int32).reshape(1, 1)
+        mask_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                 memory_space=pltpu.SMEM)
+    elif not with_dropout:
         keep_prob = 1.0
         # unused by the kernel (static keep_prob branch); tiny dummy so no
         # HBM traffic is spent on a mask in eval mode
@@ -231,7 +283,9 @@ def fused_news_encoder(
     cdt = jnp.dtype(compute_dtype)
     out = pl.pallas_call(
         partial(_kernel, num_heads=num_heads, head_dim=head_dim,
-                keep_prob=float(keep_prob), cdt=cdt),
+                keep_prob=float(keep_prob), cdt=cdt,
+                rng_dropout=rng_dropout,
+                emb_keep=float(emb_keep_prob) if rng_dropout else 1.0),
         out_shape=jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
         grid=grid,
         in_specs=[
@@ -259,12 +313,15 @@ def _bwd_kernel(x_ref, wqkv_ref, w_ref, b_ref, q_ref,
                 mask_ref, g_ref,
                 dx_ref, dwqkv_ref, dw_ref, db_ref, dq_ref,
                 *, num_heads: int, head_dim: int, keep_prob: float,
-                cdt: jnp.dtype):
+                cdt: jnp.dtype, rng_dropout: bool = False,
+                emb_keep: float = 1.0):
     """Recompute-forward backward pass for one article block; weight grads
     accumulate across sequential grid steps into revisited output blocks.
     (Recompute beats stored residuals here: reading stored qkv+probs
     blocks from HBM measured slower than redoing the well-overlapped
-    matmuls.)"""
+    matmuls.) With ``rng_dropout`` the masks are regenerated from the
+    on-chip PRNG seeded per GLOBAL 8-article sub-block, so they match the
+    forward's exactly even when block sizes differ."""
     nb, t, din = x_ref.shape
     d = num_heads * head_dim
     s = _qkv_stride(d)
@@ -274,6 +331,14 @@ def _bwd_kernel(x_ref, wqkv_ref, w_ref, b_ref, q_ref,
     wqkv = wqkv_ref[:]
     w_att, b_att, q_att = w_ref[:], b_ref[:], q_ref[:]
     g = g_ref[:]                                           # [nb, d]
+
+    xmask = None
+    if rng_dropout:
+        seed = mask_ref[0, 0]
+        gsub0 = pl.program_id(0) * (nb // 8)
+        if emb_keep < 1.0:
+            xmask = _prng_mask(seed, 0, gsub0, nb // 8, 8 * t, din, emb_keep)
+            x = (x.astype(jnp.float32) * xmask).astype(cdt)
 
     # ---- recompute forward (masked-matmul attention; see _mhsa) ----
     qkv = _cdot(x, wqkv, ((1,), (0,)), cdt)               # [nb*t, 3s]
@@ -289,7 +354,10 @@ def _bwd_kernel(x_ref, wqkv_ref, w_ref, b_ref, q_ref,
     probs = _softmax_per_head(logits, sh, jnp.float32)
     o = _bdot(probs, v_masked, ((2,), (1,)), ((0,), (0,)), cdt).reshape(nb * t, d)
     if keep_prob < 1.0:
-        drop_scale = mask_ref[:].reshape(nb * t, d).astype(jnp.float32) / keep_prob
+        if rng_dropout:
+            drop_scale = _prng_mask(seed, 1, gsub0, nb // 8, 8 * t, d, keep_prob)
+        else:
+            drop_scale = mask_ref[:].reshape(nb * t, d).astype(jnp.float32) / keep_prob
         o = o * drop_scale  # everything downstream sees the dropped values
     z = _cdot(o, w_att, ((1,), (0,)), cdt) + b_att
     hact = jnp.tanh(z)                                     # [nb*t, a]
@@ -346,6 +414,9 @@ def _bwd_kernel(x_ref, wqkv_ref, w_ref, b_ref, q_ref,
     # dx = dqkv @ wqkv^T, expressed as contraction over both minor dims
     # (padding columns hit wqkv's zero columns, contributing nothing)
     dx = _cdot(dqkv, wqkv, ((1,), (1,)), cdt)             # [nb*t, din]
+    if xmask is not None:
+        # route dx back through the in-kernel embedding dropout
+        dx = dx * xmask
     dx_ref[:] = dx.reshape(nb, t, din).astype(dx_ref.dtype)
 
     @pl.when(is_first)
@@ -363,35 +434,40 @@ def _bwd_kernel(x_ref, wqkv_ref, w_ref, b_ref, q_ref,
         dq_ref[:] += dq_acc
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
-def news_encoder(x, wq, wk, wv, w_att, b_att, q_att, drop_mask,
+@partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13, 14))
+def news_encoder(x, wq, wk, wv, w_att, b_att, q_att, drop_mask, rng_seed,
                  num_heads, block_n=16, interpret=False, keep_prob=1.0,
-                 compute_dtype="float32"):
+                 compute_dtype="float32", emb_keep_prob=1.0):
     """Differentiable fused news encoder (custom VJP, recompute backward).
 
-    ``drop_mask`` is a float32 0/1 tensor [N, T, D] (pass ones for eval);
-    ``keep_prob`` < 1 enables the reference's attention->pooling dropout.
+    Dropout either from ``drop_mask`` (float 0/1 [N, T, D]; pass ones for
+    eval; interpret-mode friendly) or — when ``rng_seed`` (int32 size-1
+    array) is given — from the on-chip PRNG, including the embedding
+    dropout via ``emb_keep_prob`` (see fused_news_encoder).
     ``compute_dtype="bfloat16"`` runs the matmuls at the MXU's native bf16
     rate with fp32 accumulation (forward and recompute-backward alike).
     """
     return fused_news_encoder(x, wq, wk, wv, w_att, b_att, q_att,
                               num_heads=num_heads, block_n=block_n,
                               interpret=interpret, drop_mask=drop_mask,
-                              keep_prob=keep_prob, compute_dtype=compute_dtype)
+                              keep_prob=keep_prob, compute_dtype=compute_dtype,
+                              rng_seed=rng_seed, emb_keep_prob=emb_keep_prob)
 
 
-def _news_encoder_fwd(x, wq, wk, wv, w_att, b_att, q_att, drop_mask,
-                      num_heads, block_n, interpret, keep_prob, compute_dtype):
+def _news_encoder_fwd(x, wq, wk, wv, w_att, b_att, q_att, drop_mask, rng_seed,
+                      num_heads, block_n, interpret, keep_prob, compute_dtype,
+                      emb_keep_prob):
     out = fused_news_encoder(x, wq, wk, wv, w_att, b_att, q_att,
                              num_heads=num_heads, block_n=block_n,
                              interpret=interpret, drop_mask=drop_mask,
-                             keep_prob=keep_prob, compute_dtype=compute_dtype)
-    return out, (x, wq, wk, wv, w_att, b_att, q_att, drop_mask)
+                             keep_prob=keep_prob, compute_dtype=compute_dtype,
+                             rng_seed=rng_seed, emb_keep_prob=emb_keep_prob)
+    return out, (x, wq, wk, wv, w_att, b_att, q_att, drop_mask, rng_seed)
 
 
 def _news_encoder_bwd(num_heads, block_n, interpret, keep_prob, compute_dtype,
-                      residuals, g):
-    x, wq, wk, wv, w_att, b_att, q_att, drop_mask = residuals
+                      emb_keep_prob, residuals, g):
+    x, wq, wk, wv, w_att, b_att, q_att, drop_mask, rng_seed = residuals
     n, t, din = x.shape
     d = wq.shape[1]
     a = w_att.shape[1]
@@ -402,25 +478,33 @@ def _news_encoder_bwd(num_heads, block_n, interpret, keep_prob, compute_dtype,
     # smaller article blocks than the forward keep it under the VMEM limit
     block_n = min(block_n, 16)
     n_pad = -(-n // block_n) * block_n
-    with_dropout = keep_prob < 1.0
-    if with_dropout:
+    rng_dropout = rng_seed is not None and (keep_prob < 1.0 or emb_keep_prob < 1.0)
+    with_dropout = (not rng_dropout) and keep_prob < 1.0
+    if rng_dropout:
+        mask_in = jnp.asarray(rng_seed, jnp.int32).reshape(1, 1)
+        mask_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                 memory_space=pltpu.SMEM)
+    elif with_dropout:
+        mask_in = drop_mask
         mask_spec = pl.BlockSpec((block_n, t, d), lambda i: (i, 0, 0),
                                  memory_space=pltpu.VMEM)
     else:
-        drop_mask = jnp.ones((8, 128), jnp.float32)
+        mask_in = jnp.ones((8, 128), jnp.float32)
         mask_spec = pl.BlockSpec((8, 128), lambda i: (0, 0),
                                  memory_space=pltpu.VMEM)
     if n_pad != n:
         x = jnp.pad(x, ((0, n_pad - n), (0, 0), (0, 0)))
         g = jnp.pad(g, ((0, n_pad - n), (0, 0)))
         if with_dropout:
-            drop_mask = jnp.pad(drop_mask, ((0, n_pad - n), (0, 0), (0, 0)))
+            mask_in = jnp.pad(mask_in, ((0, n_pad - n), (0, 0), (0, 0)))
     grid = (n_pad // block_n,)
     full = lambda *shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                                        memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
         partial(_bwd_kernel, num_heads=num_heads, head_dim=head_dim,
-                keep_prob=float(keep_prob), cdt=jnp.dtype(compute_dtype)),
+                keep_prob=float(keep_prob), cdt=jnp.dtype(compute_dtype),
+                rng_dropout=rng_dropout,
+                emb_keep=float(emb_keep_prob) if rng_dropout else 1.0),
         out_shape=(
             jax.ShapeDtypeStruct((n_pad, t, din), x.dtype),  # dx
             jax.ShapeDtypeStruct((din, 3 * s), jnp.float32),  # packed dwqkv
@@ -447,13 +531,19 @@ def _news_encoder_bwd(num_heads, block_n, interpret, keep_prob, compute_dtype,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(x, wqkv, w_att, b_att, q_att, drop_mask, g)
+    )(x, wqkv, w_att, b_att, q_att, mask_in, g)
     dx, dwqkv, dw, db, dq = outs
     dwq = dwqkv[:, 0:d]
     dwk = dwqkv[:, s:s + d]
     dwv = dwqkv[:, 2 * s:2 * s + d]
-    return (dx[:n], dwq, dwk, dwv, dw, db, dq,
-            jnp.zeros_like(residuals[7]))
+    d_mask = jnp.zeros_like(residuals[7])
+    # rng_seed is integer-typed: its tangent space is float0
+    d_seed = None
+    if residuals[8] is not None:
+        import numpy as _np
+
+        d_seed = _np.zeros(_np.shape(residuals[8]), dtype=jax.dtypes.float0)
+    return (dx[:n], dwq, dwk, dwv, dw, db, dq, d_mask, d_seed)
 
 
 news_encoder.defvjp(_news_encoder_fwd, _news_encoder_bwd)

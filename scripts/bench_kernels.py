@@ -100,7 +100,7 @@ def bench_encoder():
                            ("bfloat16", (8, 16), (bf16_args[0],) + args[1:])):
         for block in blocks:
             def loss_fused(*a, _b=block, _cd=cd):
-                return jnp.sum(news_encoder(*a, dummy_mask, HEADS, _b, False,
+                return jnp.sum(news_encoder(*a, dummy_mask, None, HEADS, _b, False,
                                             1.0, _cd))
 
             gfused = jax.jit(jax.grad(loss_fused, argnums=tuple(range(7))))

@@ -73,12 +73,12 @@ def main():
 
     def fwd_nodrop(ws, x):
         wq_, wk_, wv_, w_, b_, q_ = ws
-        return news_encoder(x, wq_, wk_, wv_, w_, b_, q_, ones,
+        return news_encoder(x, wq_, wk_, wv_, w_, b_, q_, ones, None,
                             NH, BLOCK, False, 1.0, "bfloat16")
 
     def fwd_drop(ws, x, m):
         wq_, wk_, wv_, w_, b_, q_ = ws
-        return news_encoder(x, wq_, wk_, wv_, w_, b_, q_, m,
+        return news_encoder(x, wq_, wk_, wv_, w_, b_, q_, m, None,
                             NH, BLOCK, False, 0.8, "bfloat16")
 
     ws = (wq, wk, wv, w, b, q)
@@ -109,7 +109,7 @@ def main():
     ws2 = (wq2, wq2, wq2, w, b, q)
     def loss_u(ws, x):
         wq_, wk_, wv_, w_, b_, q_ = ws
-        return jnp.sum(news_encoder(x, wq_, wk_, wv_, w_, b_, q_, ones,
+        return jnp.sum(news_encoder(x, wq_, wk_, wv_, w_, b_, q_, ones, None,
                                     NH, BLOCK, False, 1.0, "bfloat16") * 1e-6)
     report("fused user-enc FWD+BWD",
            timed(jax.jit(lambda ws, x: jax.grad(loss_u)(ws, x)), ws2, xu))

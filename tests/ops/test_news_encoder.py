@@ -48,7 +48,7 @@ def test_custom_vjp_matches_autodiff():
     dummy = jnp.ones((8, 128), jnp.float32)
 
     def loss_fused(*a_):
-        return jnp.sum(jnp.sin(news_encoder(*a_, dummy, heads, 4, True)))
+        return jnp.sum(jnp.sin(news_encoder(*a_, dummy, None, heads, 4, True)))
 
     def loss_ref(*a_):
         return jnp.sum(jnp.sin(news_encoder_reference(*a_, num_heads=heads)))
@@ -89,13 +89,13 @@ def test_custom_vjp_with_dropout_matches_masked_reference():
         return jnp.einsum("ntd,nt->nd", o, w)
 
     def loss_fused(*a_):
-        return jnp.sum(jnp.sin(news_encoder(*a_, mask, heads, 2, True, keep)))
+        return jnp.sum(jnp.sin(news_encoder(*a_, mask, None, heads, 2, True, keep)))
 
     def loss_ref(*a_):
         return jnp.sum(jnp.sin(ref_masked(*a_)))
 
     np.testing.assert_allclose(
-        np.asarray(news_encoder(*args, mask, heads, 2, True, keep)),
+        np.asarray(news_encoder(*args, mask, None, heads, 2, True, keep)),
         np.asarray(ref_masked(*args)), atol=3e-5,
     )
     g1 = jax.grad(loss_fused, argnums=tuple(range(7)))(*args)
@@ -149,7 +149,7 @@ def test_bf16_compute_close_to_fp32_reference():
     dummy = jnp.ones((8, 128), jnp.float32)
 
     def loss_fused(*a_):
-        return jnp.sum(news_encoder(*a_, dummy, heads, 4, True, 1.0, "bfloat16"))
+        return jnp.sum(news_encoder(*a_, dummy, None, heads, 4, True, 1.0, "bfloat16"))
 
     def loss_ref(*a_):
         return jnp.sum(news_encoder_reference(*a_, num_heads=heads))
