@@ -152,7 +152,9 @@ def _prng_mask(seed, stream: int, gsub0, n_sub: int, rows8: int, width: int,
     thr = jnp.uint32(int(keep * (1 << 24)))
     parts = []
     for i in range(n_sub):
-        pltpu.prng_seed(seed, jnp.int32(stream), gsub0 + i)
+        # Mosaic (as deployed) supports at most TWO seed values; fold the
+        # stream id (0 or 1) and the global sub-block index into one int32.
+        pltpu.prng_seed(seed, (gsub0 + i) * 2 + jnp.int32(stream))
         bits = pltpu.bitcast(pltpu.prng_random_bits((rows8, width)), jnp.uint32)
         parts.append(((bits >> 8) < thr).astype(jnp.float32))
     m = parts[0] if n_sub == 1 else jnp.concatenate(parts, axis=0)

@@ -197,6 +197,7 @@ class Trainer:
             batch_stats=batch_stats,
             opt_state=self.tx.init(params),
         )
+        self._art_cache = None
         return self.state
 
     # -- steps ------------------------------------------------------------
@@ -300,25 +301,44 @@ class Trainer:
 
         q: "queue.Queue" = queue.Queue(maxsize=depth)
         done = object()
-        errs: list[BaseException] = []
+        stop = threading.Event()
 
         def worker():
             try:
                 for item in items:
-                    q.put(item)
+                    # bounded put with a stop check so a consumer that
+                    # bails mid-epoch doesn't leave this thread blocked
+                    # forever with staged device batches pinned in q
+                    while not stop.is_set():
+                        try:
+                            q.put(item, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
             except BaseException as e:  # noqa: BLE001 - re-raised on main thread
-                errs.append(e)
-            finally:
-                q.put(done)
+                q.put((done, e))  # in-order: surfaces as soon as consumed
+                return
+            q.put((done, None))
 
-        threading.Thread(target=worker, daemon=True).start()
-        while True:
-            item = q.get()
-            if item is done:
-                break
-            yield item
-        if errs:
-            raise errs[0]
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if isinstance(item, tuple) and len(item) == 2 and item[0] is done:
+                    if item[1] is not None:
+                        raise item[1]
+                    break
+                yield item
+        finally:
+            stop.set()
+            while not q.empty():  # release staged device buffers
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
 
     def _run_epoch(self, train_feed, steps_per_epoch) -> list[jnp.ndarray]:
         """One epoch of train steps with prefetch; groups of
@@ -389,6 +409,13 @@ class Trainer:
             record = {"epoch": epoch, "loss": mean_loss, "lr": lr}
             if val_feed is not None and val_labels is not None:
                 scores = self.score(val_feed)
+                # Deliberate deviation: single-class impressions (no
+                # positive or no negative in view) have undefined AUC —
+                # per_impression_auc yields NaN for them and nanmean skips
+                # them. The reference's AucScore would instead raise
+                # (sklearn.roc_auc_score, metrics_protocols.py:77-86),
+                # aborting training on data the wu2019 sampler never
+                # produces but real validation splits can contain.
                 val_auc = float(np.nanmean(per_impression_auc(val_labels, scores)))
                 record["val_auc"] = val_auc
                 better = val_auc > best_metric if cfg.monitor_mode == "max" else val_auc < best_metric
@@ -419,6 +446,10 @@ class Trainer:
                 break
         if val_feed is not None and val_labels is not None:
             self.state = self.state.replace(params=best_params, batch_stats=best_stats)
+            # the step counter is unchanged by the restore, so the
+            # step-keyed article-vector cache would silently serve
+            # final-epoch vectors against best-epoch user-tower params
+            self._art_cache = None
         return self.history
 
     def score(self, feed: EvalFeed, two_tower=None) -> Ragged:

@@ -77,15 +77,20 @@ def run_worker(process_id: int, num_processes: int, port: int,
     bs = 8
     # every process builds the identical dataset (seed-pinned)
     data_dir = Path(out_path).parent / "data"
+    sentinel = data_dir / ".complete"
     if process_id == 0 or num_processes == 1:
         make_synthetic_ebnerd(data_dir, n_users=16, n_articles=39,
                               n_impressions=64, seed=0)
+        # written AFTER all three parquets: articles.parquet lands last
+        # (data/synthetic.py) and parquet writes are not atomic, so other
+        # processes must not key off behaviors.parquet alone
+        sentinel.touch()
     if num_processes > 1:
-        # cheap barrier: process 0 writes, others wait for the files
+        # cheap barrier: process 0 writes, others wait for the sentinel
         import time
 
         for _ in range(600):
-            if (data_dir / "behaviors.parquet").exists():
+            if sentinel.exists():
                 break
             time.sleep(0.1)
     df = ebnerd_from_path(data_dir, history_size=H)

@@ -150,9 +150,11 @@ def test_eval_feed_bucketing_preserves_order(split, lookup):
     expected = lookup.map_ragged(inview)
     np.testing.assert_array_equal(ragged.values.astype(np.int64), expected.values)
     np.testing.assert_array_equal(ragged.offsets, expected.offsets)
-    # buckets actually differentiate when the split is skewed
-    if len(np.unique(inview.lengths)) > 1:
-        assert len(feed.bucket_widths) >= 1
+    # buckets actually differentiate when the split is skewed: with
+    # n_buckets=3 and multiple distinct inview widths, at least two
+    # distinct padded widths must exist (>= 1 would be vacuous)
+    if len(np.unique(inview.lengths)) >= 3:
+        assert len(set(feed.bucket_widths)) > 1
 
 
 def test_eval_feed_unpad_roundtrip(split, lookup):

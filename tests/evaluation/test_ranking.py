@@ -53,6 +53,34 @@ def test_auc_matches_sklearn_per_row(impressions):
     np.testing.assert_allclose(ours, ref, rtol=1e-10)
 
 
+def test_auc_single_class_impressions_nan_policy():
+    """Documented deviation (trainer.py fit): impressions with no positive
+    or no negative yield NaN (undefined AUC) and the trainer's nanmean
+    skips them; the reference's sklearn-backed AucScore would raise
+    instead (metrics_protocols.py:77-86)."""
+    labels = [np.array([1, 0, 0]), np.array([1, 1]), np.array([0, 0, 0])]
+    scores = [np.array([0.9, 0.1, 0.2]), np.array([0.5, 0.4]), np.array([0.3, 0.2, 0.1])]
+    rl = Ragged.from_lists(labels, dtype=np.float64)
+    rs = Ragged.from_lists(scores, dtype=np.float64)
+    per = ranking.per_impression_auc(rl, rs)
+    assert per[0] == 1.0
+    assert np.isnan(per[1]) and np.isnan(per[2])  # all-pos / all-neg rows
+    # the trainer's monitored value = mean over defined impressions only
+    assert float(np.nanmean(per)) == 1.0
+    # sanity: sklearn (the reference path) also treats these as undefined
+    # (NaN + UndefinedMetricWarning on this version; older versions raise
+    # ValueError, which would abort the reference's AucScore mid-training)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        try:
+            ref = roc_auc_score(labels[1], scores[1])
+            assert np.isnan(ref)
+        except ValueError:
+            pass
+
+
 def _mrr_reference(y_true, y_score):
     # reference: mrr_score, metrics/_ranking.py:126-155. The reference's
     # unstable argsort has unspecified tie order; we pin stable-descending
