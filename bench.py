@@ -137,11 +137,15 @@ def main() -> None:
     flops = model_flops_per_impression(hp.head_num * hp.head_dim,
                                        hp.attention_hidden_dim)
     mfu = ips * flops / (PEAK_TFLOPS * 1e12) * 100.0
+    # analytic as-shipped reference-on-A100 estimate: 3,500 imp/s midpoint
+    # (derivation in BASELINE.md "Analytic GPU estimate"); vs_baseline
+    # stays TPU-vs-CPU (the only locally runnable reference)
     print(json.dumps({
         "metric": "nrms_train_impressions_per_sec_per_chip",
         "value": round(ips, 1),
         "unit": "impressions/s",
         "vs_baseline": round(vs, 2),
+        "vs_gpu_estimate": round(ips / 3500.0, 2),
         "mfu_pct": round(mfu, 2),
         "step_ms": round(dt / steps * 1000, 2),
         "config": f"bs{bs} bf16 fused={int(fused)} steps{steps}",

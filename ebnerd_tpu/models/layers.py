@@ -70,11 +70,26 @@ class AdditiveAttention(nn.Module):
 
 class SelfAttention(nn.Module):
     """Multi-head attention with NRMS conventions: no projection biases, no
-    output projection. q/k/v: [..., L, D] -> [..., Lq, num_heads*head_dim]."""
+    output projection. q/k/v: [..., L, D] -> [..., Lq, num_heads*head_dim].
+
+    ``transposed=True`` reproduces the reference layer's EXACT numerics:
+    its Keras-3 port applies the attention matrix with ``adjoint_a=True``
+    (reference layers.py:249), i.e. out[i] = sum_q softmax_k(A)[q, i] v[q]
+    — the TRANSPOSE of the softmaxed weights, normalized over the output
+    axis instead of the reduction axis. This deviates from the original
+    Microsoft-recommenders layer it was ported from (``K.batch_dot(A, V,
+    axes=[3, 2])`` = standard attention) and from the NRMS paper; the
+    difference is second-order at small logits (which is why it is easy to
+    miss at init scale) but real for trained weights. Default ``False`` =
+    standard attention: the mathematically intended op, and what the fused
+    Pallas kernel computes. Training-level parity between the two is
+    pinned by PARITY_TRAIN.json; exact-numerics parity by the transposed
+    variant in tests/parity/."""
 
     num_heads: int
     head_dim: int
     dtype: jnp.dtype = jnp.float32
+    transposed: bool = False
 
     @nn.compact
     def __call__(
@@ -100,7 +115,11 @@ class SelfAttention(nn.Module):
             neg = jnp.asarray(-1e12, logits.dtype)
             logits = jnp.where(key_mask[..., None, None, :].astype(bool), logits, neg)
         weights = jax.nn.softmax(logits, axis=-1)
-        out = jnp.einsum("...hqk,...khd->...qhd", weights, vh)
+        if self.transposed:
+            # reference adjoint_a quirk: out[k] = sum_q weights[q, k] v[q]
+            out = jnp.einsum("...hqk,...qhd->...khd", weights, vh)
+        else:
+            out = jnp.einsum("...hqk,...khd->...qhd", weights, vh)
         return out.reshape(*out.shape[:-2], out_dim)
 
 

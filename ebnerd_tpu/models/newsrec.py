@@ -110,7 +110,10 @@ class _DenseStack(nn.Module):
             x = nn.Dense(u, kernel_init=glorot(), bias_init=zeros,
                          dtype=self.dtype, name=f"l2_dense_{i}")(x)
             x = nn.relu(x)
-            x = nn.BatchNorm(use_running_average=not train, name=f"bn_{i}")(x)
+            # epsilon matches Keras BatchNormalization's 1e-3 default (the
+            # reference's BN, nrms_docvec.py:126); flax defaults to 1e-5
+            x = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
+                             name=f"bn_{i}")(x)
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return x
 
@@ -170,6 +173,10 @@ class NRMS(nn.Module):
     # (still deterministic-per-seed) stream than jax.random. Compiled TPU
     # only — interpret mode falls back to the mask path automatically.
     fused_rng_dropout: bool = True
+    # reproduce the reference layer's adjoint_a=True attention application
+    # exactly (see SelfAttention.transposed). Default False = standard
+    # attention; incompatible with use_fused_encoder.
+    transposed_self_att: bool = False
 
     def setup(self):
         hp = self.hparams
@@ -185,18 +192,24 @@ class NRMS(nn.Module):
             name="word_embedding",
         )
         if self.use_fused_encoder:
+            if self.transposed_self_att:
+                raise ValueError(
+                    "transposed_self_att (reference adjoint quirk) is not "
+                    "implemented by the fused kernel")
             self.news_self_att = _SelfAttParams(self.word_emb_dim, d)
             self.news_pool = _PoolParams(d, hp.attention_hidden_dim)
             self.user_self_att = _SelfAttParams(d, d)
             self.user_pool = _PoolParams(d, hp.attention_hidden_dim)
             return
-        self.news_self_att = SelfAttention(hp.head_num, hp.head_dim, dtype=self.dtype)
+        self.news_self_att = SelfAttention(hp.head_num, hp.head_dim, dtype=self.dtype,
+                                           transposed=self.transposed_self_att)
         self.news_pool = AdditiveAttention(hp.attention_hidden_dim, dtype=self.dtype)
         if hp.newsencoder_units_per_layer:
             self.news_dense = _DenseStack(
                 tuple(hp.newsencoder_units_per_layer), hp.dropout, dtype=self.dtype
             )
-        self.user_self_att = SelfAttention(hp.head_num, hp.head_dim, dtype=self.dtype)
+        self.user_self_att = SelfAttention(hp.head_num, hp.head_dim, dtype=self.dtype,
+                                           transposed=self.transposed_self_att)
         self.user_pool = AdditiveAttention(hp.attention_hidden_dim, dtype=self.dtype)
 
     def _rng_dropout_active(self, train: bool) -> bool:
@@ -285,6 +298,8 @@ class NRMSDocVec(nn.Module):
 
     hparams: HParamsNRMSDocVec
     dtype: jnp.dtype = jnp.float32
+    # reference adjoint-quirk parity switch (see SelfAttention.transposed)
+    transposed_self_att: bool = False
 
     def setup(self):
         hp = self.hparams
@@ -298,7 +313,8 @@ class NRMSDocVec(nn.Module):
             dtype=self.dtype,
             name="news_out",
         )
-        self.user_self_att = SelfAttention(hp.head_num, hp.head_dim, dtype=self.dtype)
+        self.user_self_att = SelfAttention(hp.head_num, hp.head_dim, dtype=self.dtype,
+                                           transposed=self.transposed_self_att)
         self.user_pool = AdditiveAttention(hp.attention_hidden_dim, dtype=self.dtype)
 
     def encode_news(self, vecs: jnp.ndarray, train: bool) -> jnp.ndarray:
