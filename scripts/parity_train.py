@@ -87,6 +87,137 @@ def make_signal_dataset(seed: int):
     return train, val
 
 
+def make_docvec_dataset(seed: int, dv: int = 64):
+    """Document-vector variant of the topic-signal dataset: article
+    docvecs = topic centroid + noise, so the user's topic preference is
+    learnable from raw vectors (NRMSDocVec's input regime,
+    reference nrms_docvec.py:99-137)."""
+    rng = np.random.default_rng(seed)
+    art_topic = rng.integers(0, N_TOPICS, N_ARTICLES)
+    centroids = rng.standard_normal((N_TOPICS, dv)).astype(np.float32)
+    docvecs = (centroids[art_topic]
+               + 0.7 * rng.standard_normal((N_ARTICLES, dv))).astype(np.float32)
+
+    def impressions(n):
+        user_topic = rng.integers(0, N_TOPICS, n)
+        his = np.zeros((n, H), np.int64)
+        cand = np.zeros((n, K), np.int64)
+        labels = np.zeros((n, K), np.float32)
+        for i in range(n):
+            ut = user_topic[i]
+            on_topic = np.flatnonzero(art_topic == ut)
+            off_topic = np.flatnonzero(art_topic != ut)
+            n_on = rng.binomial(H, 0.8)
+            his[i] = np.concatenate([
+                rng.choice(on_topic, n_on), rng.choice(off_topic, H - n_on)])
+            neg = rng.choice(off_topic, NPRATIO, replace=False)
+            pos_pool = on_topic if rng.random() < TOPIC_CLICK_P else off_topic
+            pos = rng.choice(pos_pool)
+            order = rng.permutation(K)
+            cand[i] = np.concatenate([neg, [pos]])[order]
+            labels[i, np.flatnonzero(order == NPRATIO)[0]] = 1.0
+        return docvecs[his], docvecs[cand], labels
+
+    return impressions(N_TRAIN), impressions(N_VAL)
+
+
+def _install_keras3_shim():
+    """int shapes -> 1-tuples (the reference NRMSDocVec passes a bare int
+    to tf.keras.Input, which Keras 3 rejects; see
+    tests/parity/test_reference_nrms_docvec.py)."""
+    import keras.src.backend.common.variables as kv
+
+    orig = kv.standardize_shape
+
+    def compat(shape):
+        if isinstance(shape, int):
+            shape = (shape,)
+        return orig(shape)
+
+    kv.standardize_shape = compat
+    import keras.src.layers.core.input_layer as il
+
+    il.backend.standardize_shape = compat
+
+
+def train_reference_docvec(train, val, seed: int, dv: int = 64) -> list[float]:
+    sys.path.insert(0, REFERENCE_SRC)
+    _install_keras3_shim()
+    from ebrec.models.newsrec.model_config import hparams_nrms_docvec
+    from ebrec.models.newsrec.nrms_docvec import NRMSDocVec as RefNRMSDocVec
+
+    hp = hparams_nrms_docvec()
+    hp.title_size, hp.history_size = dv, H
+    hp.head_num, hp.head_dim, hp.attention_hidden_dim = HEADS, HEAD_DIM, ATT
+    hp.newsencoder_units_per_layer = [64, 64]
+    hp.learning_rate = LR
+    model = RefNRMSDocVec(hparams=hp, seed=seed)
+    his, cand, y = train
+    vhis, vcand, vy = val
+    aucs = []
+    for _ in range(EPOCHS):
+        model.model.fit((his, cand), y, batch_size=BATCH, epochs=1, verbose=0)
+        probs = model.model.predict([vhis, vcand], verbose=0, batch_size=256)
+        aucs.append(auc_from_probs(probs, vy))
+    return aucs
+
+
+def train_ours_docvec(train, val, seed: int, dv: int = 64) -> list[float]:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from ebnerd_tpu.models.config import HParamsNRMSDocVec
+    from ebnerd_tpu.models.newsrec import NRMSDocVec
+    from ebnerd_tpu.training.trainer import Trainer, TrainerConfig
+
+    his, cand, y = train
+    vhis, vcand, vy = val
+    hp = HParamsNRMSDocVec(title_size=dv, history_size=H, head_num=HEADS,
+                           head_dim=HEAD_DIM, attention_hidden_dim=ATT,
+                           newsencoder_units_per_layer=(64, 64))
+    model = NRMSDocVec(hp)
+
+    def builder(tables, raw):
+        return {"hist_vecs": raw["hist_vecs"], "cand_vecs": raw["cand_vecs"]}
+
+    trainer = Trainer(model, {"docvec": np.zeros((1, dv), np.float32)}, builder,
+                      TrainerConfig(learning_rate=LR, seed=seed,
+                                    l2_regularization=hp.newsencoder_l2_regularization),
+                      log_fn=lambda s: None)
+    trainer.init_state({
+        "hist_vecs": his[:BATCH], "cand_vecs": cand[:BATCH], "labels": y[:BATCH],
+    })
+
+    @jax.jit
+    def score(state, vh, vc):
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        logits = model.apply(variables, {"hist_vecs": vh, "cand_vecs": vc},
+                             train=False)
+        return jax.nn.sigmoid(logits)
+
+    rng = np.random.default_rng(seed)
+    key = jax.random.key(seed)
+    n_total = his.shape[0]
+    aucs = []
+    for _ in range(EPOCHS):
+        order = rng.permutation(n_total)
+        for s in range(0, n_total - BATCH + 1, BATCH):
+            idx = order[s:s + BATCH]
+            batch = {"hist_vecs": his[idx], "cand_vecs": cand[idx], "labels": y[idx]}
+            key, sub = jax.random.split(key)
+            trainer.state, _ = trainer._train_step(trainer.state, batch, sub)
+        probs = np.concatenate([
+            np.asarray(score(trainer.state, jnp.asarray(vhis[s:s + 500]),
+                             jnp.asarray(vcand[s:s + 500])))
+            for s in range(0, vhis.shape[0], 500)])
+        aucs.append(auc_from_probs(probs, vy))
+    return aucs
+
+
 def auc_from_probs(probs: np.ndarray, labels: np.ndarray) -> float:
     from ebnerd_tpu.data.ragged import Ragged
     from ebnerd_tpu.evaluation.ranking import per_impression_auc
@@ -174,27 +305,11 @@ def train_ours(train, val, w2v, seed: int) -> list[float]:
     return aucs
 
 
-def main() -> None:
-    t0 = time.time()
-    train, val = make_signal_dataset(seed=0)
-    rng = np.random.default_rng(1)
-    w2v = (rng.standard_normal((VOCAB, EMB)) * 0.1).astype(np.float32)
-
-    ours_a = train_ours(train, val, w2v, seed=42)
-    ours_b = train_ours(train, val, w2v, seed=7)
-    ref = train_reference(train, val, w2v, seed=42)
-
+def _verdict(ref, ours_a, ours_b):
     spread = abs(ours_a[-1] - ours_b[-1])
     gap = abs(ref[-1] - ours_a[-1])
     tol = max(2 * spread, 0.02)
-    result = {
-        "config": {
-            "model": "NRMS", "vocab": VOCAB, "emb": EMB, "history": H,
-            "title": T, "npratio": NPRATIO, "heads": f"{HEADS}x{HEAD_DIM}",
-            "epochs": EPOCHS, "batch": BATCH, "lr": LR,
-            "n_train": N_TRAIN, "n_val": N_VAL,
-            "data": "synthetic EB-NeRD with topic-preference click signal",
-        },
+    return {
         "reference_val_auc": [round(x, 4) for x in ref],
         "ebnerd_tpu_val_auc": [round(x, 4) for x in ours_a],
         "ebnerd_tpu_val_auc_seed7": [round(x, 4) for x in ours_b],
@@ -202,14 +317,68 @@ def main() -> None:
         "seed_spread": round(spread, 4),
         "tolerance": round(tol, 4),
         "pass": bool(gap <= tol),
+    }
+
+
+def main() -> None:
+    only = sys.argv[1] if len(sys.argv) > 1 else "all"
+    t0 = time.time()
+    result = {
         "hardware": "host CPU (TF has no TPU backend here)",
         "measured_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
-        "wall_seconds": round(time.time() - t0, 1),
     }
     out = REPO / "PARITY_TRAIN.json"
+    if out.exists():  # preserve entries not rerun this invocation
+        try:
+            prev = json.loads(out.read_text())
+            for k in ("nrms", "nrms_docvec"):
+                if k in prev:
+                    result[k] = prev[k]
+        except Exception:  # noqa: BLE001
+            pass
+
+    if only in ("all", "nrms"):
+        train, val = make_signal_dataset(seed=0)
+        rng = np.random.default_rng(1)
+        w2v = (rng.standard_normal((VOCAB, EMB)) * 0.1).astype(np.float32)
+        ours_a = train_ours(train, val, w2v, seed=42)
+        ours_b = train_ours(train, val, w2v, seed=7)
+        ref = train_reference(train, val, w2v, seed=42)
+        result["nrms"] = {
+            "config": {
+                "model": "NRMS", "vocab": VOCAB, "emb": EMB, "history": H,
+                "title": T, "npratio": NPRATIO, "heads": f"{HEADS}x{HEAD_DIM}",
+                "epochs": EPOCHS, "batch": BATCH, "lr": LR,
+                "n_train": N_TRAIN, "n_val": N_VAL,
+                "data": "synthetic EB-NeRD with topic-preference click signal",
+            },
+            **_verdict(ref, ours_a, ours_b),
+        }
+
+    if only in ("all", "nrms_docvec"):
+        dtrain, dval = make_docvec_dataset(seed=0)
+        d_a = train_ours_docvec(dtrain, dval, seed=42)
+        d_b = train_ours_docvec(dtrain, dval, seed=7)
+        d_ref = train_reference_docvec(dtrain, dval, seed=42)
+        result["nrms_docvec"] = {
+            "config": {
+                "model": "NRMSDocVec (reference run via Keras-3 input shim)",
+                "docvec_dim": 64, "dense": [64, 64], "history": H,
+                "npratio": NPRATIO, "heads": f"{HEADS}x{HEAD_DIM}",
+                "epochs": EPOCHS, "batch": BATCH, "lr": LR,
+                "n_train": N_TRAIN, "n_val": N_VAL,
+                "data": "synthetic docvecs (topic centroid + noise) with "
+                        "topic-preference click signal",
+            },
+            **_verdict(d_ref, d_a, d_b),
+        }
+
+    result["wall_seconds"] = round(time.time() - t0, 1)
+    all_pass = all(result[k]["pass"] for k in ("nrms", "nrms_docvec")
+                   if k in result)
     out.write_text(json.dumps(result, indent=2) + "\n")
     print(json.dumps(result, indent=2))
-    if not result["pass"]:
+    if not all_pass:
         raise SystemExit("parity FAILED")
 
 
