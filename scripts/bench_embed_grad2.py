@@ -59,26 +59,26 @@ def zipf_tokens(rng, m, s=1.07):
     return perm[ranks]
 
 
-def timed(fn, *args):
-    jitted = jax.jit(fn, donate_argnums=tuple(
-        i for i, a in enumerate(args) if isinstance(a, tuple)))
+def timed(fn, state, *args):
+    """Timer that defeats the runtime's laziness (STATUS.md: dropped
+    outputs are skipped, [0]-element probes get slice-propagated, and
+    block_until_ready alone does not force remote execution — only a
+    FETCH does). STEPS updates are unrolled inside ONE jit (unrolling,
+    not lax.scan: a multi-GB scan carry defeats buffer aliasing, r2
+    negative result) and the fetched probe is a FULL checksum of the
+    final state, which depends elementwise on every update of every
+    step — nothing can be sliced away."""
 
-    def run(arglist):
-        outs = []
-        for a in arglist:
-            outs.append(jitted(*a))
-        jax.block_until_ready(outs[-1])
-        return outs
+    @partial(jax.jit, donate_argnums=0)
+    def loop(state, *a):
+        for _ in range(STEPS):
+            state = fn(state, *a)
+        return sum(jnp.sum(l.astype(jnp.float32) * 1e-20) for l in state)
 
-    # fresh donated buffers per call
-    def mkargs():
-        return [tuple(jnp.copy(x) for x in a) if isinstance(a, tuple) else a
-                for a in args]
-
-    run([mkargs()])  # compile
-    arglists = [mkargs() for _ in range(STEPS)]
+    _ = float(loop(tuple(jnp.copy(x) for x in state), *args))  # compile+run
+    s2 = tuple(jnp.copy(x) for x in state)
     t0 = time.perf_counter()
-    run(arglists)
+    _ = float(loop(s2, *args))
     return (time.perf_counter() - t0) / STEPS * 1000.0
 
 
