@@ -31,7 +31,7 @@ import numpy as np
 from flax import linen as nn
 
 from .config import HParamsFastformer
-from .layers import AdditiveAttention, glorot, zeros
+from .layers import AdditiveAttention, WordEmbed, glorot, zeros
 
 __all__ = ["Fastformer", "FastformerWu", "FastSelfAttention", "FastformerLayer"]
 
@@ -146,7 +146,7 @@ class Fastformer(nn.Module):
     def setup(self):
         hp = self.hparams
         emb_dim = self.word_emb_dim or hp.embedding_dim
-        self.word_embedding = nn.Embed(
+        self.word_embedding = WordEmbed(
             self.vocab_size, emb_dim, embedding_init=self.word_emb_init or _normal(),
             dtype=self.dtype, name="word_embedding",
         )
@@ -233,7 +233,7 @@ class FastformerWu(nn.Module):
     def setup(self):
         hp = self.hparams
         emb_dim = self.word_emb_dim or hp.embedding_dim
-        self.word_embedding = nn.Embed(
+        self.word_embedding = WordEmbed(
             self.vocab_size, emb_dim, embedding_init=self.word_emb_init or _normal(),
             dtype=self.dtype, name="word_embedding",
         )

@@ -36,8 +36,40 @@ __all__ = [
     "PersonalizedAttentivePooling",
     "ConvEncoder",
     "MaskedGRU",
+    "WordEmbed",
     "compute_token_mask",
 ]
+
+
+class WordEmbed(nn.Module):
+    """Drop-in ``nn.Embed`` for the trainable word-embedding table
+    (reference: Keras Embedding init'd from HF word vectors, nrms.py:125-130)
+    with a row-sparse override: when ``apply`` receives an ``emb_over``
+    variable collection, the token inputs are COMPACT SLOT indices into its
+    [C, E] ``table`` entry — the batch's touched vocabulary rows
+    (training/sparse_embed.py) — and the [V, E] param is absent from the
+    tree. A separate collection is used because flax validates ``params``
+    shapes on apply, which forbids swapping in a smaller array directly.
+    The dense-mode param path matches nn.Embed ('<name>/embedding'), so
+    checkpoints and parity tests are unaffected."""
+
+    num_embeddings: int
+    features: int
+    embedding_init: Callable = nn.initializers.variance_scaling(
+        1.0, "fan_in", "normal", out_axis=0)
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, tokens: jnp.ndarray) -> jnp.ndarray:
+        if self.has_variable("emb_over", "table"):
+            table = self.get_variable("emb_over", "table")
+        else:
+            table = self.param(
+                "embedding", self.embedding_init,
+                (self.num_embeddings, self.features), jnp.float32)
+        if self.dtype is not None:
+            table = table.astype(self.dtype)
+        return jnp.take(table, tokens, axis=0)
 
 
 def compute_token_mask(tokens: jnp.ndarray) -> jnp.ndarray:

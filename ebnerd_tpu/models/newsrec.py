@@ -49,6 +49,7 @@ from .layers import (
     MaskedGRU,
     PersonalizedAttentivePooling,
     SelfAttention,
+    WordEmbed,
     glorot,
     zeros,
 )
@@ -184,7 +185,7 @@ class NRMS(nn.Module):
         if self.use_fused_encoder and hp.newsencoder_units_per_layer:
             raise ValueError("fused encoder does not support the dense stack")
         self.drop = nn.Dropout(hp.dropout)
-        self.embedding = nn.Embed(
+        self.embedding = WordEmbed(
             self.vocab_size,
             self.word_emb_dim,
             embedding_init=self.word_emb_init or glorot(),
@@ -346,7 +347,7 @@ class LSTUR(nn.Module):
     def setup(self):
         hp = self.hparams
         self.drop = nn.Dropout(hp.dropout)
-        self.embedding = nn.Embed(
+        self.embedding = WordEmbed(
             self.vocab_size, self.word_emb_dim,
             embedding_init=self.word_emb_init or glorot(),
             dtype=self.dtype, name="word_embedding",
@@ -414,7 +415,7 @@ class NPA(nn.Module):
     def setup(self):
         hp = self.hparams
         self.drop = nn.Dropout(hp.dropout)
-        self.embedding = nn.Embed(
+        self.embedding = WordEmbed(
             self.vocab_size, self.word_emb_dim,
             embedding_init=self.word_emb_init or glorot(),
             dtype=self.dtype, name="word_embedding",
@@ -475,7 +476,7 @@ class NAML(nn.Module):
     def setup(self):
         hp = self.hparams
         self.drop = nn.Dropout(hp.dropout)
-        self.embedding = nn.Embed(
+        self.embedding = WordEmbed(
             self.vocab_size, self.word_emb_dim,
             embedding_init=self.word_emb_init or glorot(),
             dtype=self.dtype, name="word_embedding",

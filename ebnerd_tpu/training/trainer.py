@@ -32,9 +32,15 @@ from ..data.dataloader import EvalFeed, NewsrecFeed
 from ..data.ragged import Ragged
 from ..evaluation.ranking import per_impression_auc
 from ..models.inputs import BatchBuilder
-from ..parallel.mesh import data_sharding, replicated, shard_batch
+from ..parallel.mesh import data_sharding, put_replicated, replicated, shard_batch
 from ..serving import article_validity, encode_article_rows, model_kind, two_tower_logits
 from .losses import l2_penalty, loss_fn_for
+from .sparse_embed import (
+    TOKEN_KEYS_BY_TABLE,
+    SparseEmbedState,
+    prep_sparse_batch,
+    rowwise_adam,
+)
 
 __all__ = ["TrainState", "Trainer", "TrainerConfig"]
 
@@ -54,6 +60,9 @@ class TrainState(struct.PyTreeNode):
     params: core.FrozenDict
     batch_stats: core.FrozenDict
     opt_state: optax.OptState
+    # row-sparse embedding mode only: the word-embedding table + its Adam
+    # moments, held outside params/opt_state (training/sparse_embed.py)
+    emb: Any = None
 
     def hyperparams(self):
         return _hyperparams(self.opt_state)
@@ -93,6 +102,14 @@ class TrainerConfig:
     # corpus once per eval instead of per impression. True forces it
     # (errors on NPA), False always uses the full forward pass.
     two_tower_eval: Any = "auto"
+    # host-deduped row-sparse word-embedding updates (sparse_embed.py):
+    # only the vocabulary rows a batch touches are scattered/Adam-updated
+    # — the reference's own TF sparse-Adam semantics, and a large HBM-
+    # traffic win at realistic (Zipfian) token statistics. Requires the
+    # model to own a top-level "word_embedding" nn.Embed.
+    sparse_embedding: bool = False
+    sparse_embed_param: str = "word_embedding"
+    sparse_min_bucket: int = 4096
 
 
 class Trainer:
@@ -145,6 +162,30 @@ class Trainer:
             self.tables = {k: jnp.asarray(v) for k, v in tables.items()}
         if config.optimizer != "adam":
             raise ValueError(f"this optimizer not defined {config.optimizer}")
+        self._sparse = bool(config.sparse_embedding)
+        if self._sparse:
+            if config.accumulation_steps > 1 or config.scan_steps > 1:
+                raise ValueError(
+                    "sparse_embedding requires accumulation_steps == 1 and "
+                    "scan_steps == 1 (per-batch unique-row sets)")
+            if config.l2_regularization:
+                raise ValueError(
+                    "sparse_embedding + l2_regularization unsupported: the "
+                    "penalty would only see the batch's touched rows")
+            self._vocab_size = getattr(model, "vocab_size", None)
+            if self._vocab_size is None:
+                raise ValueError("sparse_embedding needs model.vocab_size")
+            # host copies of the token tables drive the prefetch-thread dedup
+            self._host_tables = {
+                k: np.asarray(v) for k, v in tables.items()
+                if k in TOKEN_KEYS_BY_TABLE
+            }
+            self._sparse_tables = tuple(self._host_tables)
+            if not self._sparse_tables:
+                raise ValueError("sparse_embedding: no token tables found")
+            self._token_keys = tuple(
+                key for name in self._sparse_tables
+                for key in TOKEN_KEYS_BY_TABLE[name])
         self.tx = optax.inject_hyperparams(optax.adam)(learning_rate=config.learning_rate)
         if config.accumulation_steps > 1:
             self.tx = optax.MultiSteps(self.tx, every_k_schedule=config.accumulation_steps)
@@ -177,6 +218,16 @@ class Trainer:
         variables = self.model.init(jax.random.key(self.config.seed), batch, train=False)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", core.FrozenDict())
+        emb_state = None
+        if self._sparse:
+            p = core.unfreeze(params)
+            if self.config.sparse_embed_param not in p:
+                raise ValueError(
+                    f"sparse_embedding: model has no top-level "
+                    f"'{self.config.sparse_embed_param}' param collection")
+            emb_leaf = p.pop(self.config.sparse_embed_param)["embedding"]
+            params = core.freeze(p) if isinstance(params, core.FrozenDict) else p
+            emb_state = SparseEmbedState.create(jnp.asarray(emb_leaf, jnp.float32))
         if self.mesh is not None:
             from jax.sharding import NamedSharding
 
@@ -191,11 +242,14 @@ class Trainer:
 
             params = jax.tree_util.tree_map_with_path(put_param, params)
             batch_stats = jax.device_put(batch_stats, rep)
+            if emb_state is not None:
+                emb_state = jax.device_put(emb_state, rep)
         self.state = TrainState(
             step=jnp.zeros((), jnp.int32),
             params=params,
             batch_stats=batch_stats,
             opt_state=self.tx.init(params),
+            emb=emb_state,
         )
         self._art_cache = None
         return self.state
@@ -203,6 +257,8 @@ class Trainer:
     # -- steps ------------------------------------------------------------
 
     def _step_impl(self, state: TrainState, raw: dict, rng) -> tuple[TrainState, jnp.ndarray]:
+        if self._sparse:
+            return self._sparse_step_impl(state, raw, rng)
         batch = self.builder(self.tables, raw)
         labels = raw["labels"]
 
@@ -231,6 +287,54 @@ class Trainer:
             loss,
         )
 
+    def _with_emb(self, params, emb_leaf):
+        """params with the word-embedding collection (re)inserted."""
+        p = core.unfreeze(params)
+        p[self.config.sparse_embed_param] = {"embedding": emb_leaf}
+        return core.freeze(p) if isinstance(params, core.FrozenDict) else p
+
+    def _sparse_step_impl(self, state: TrainState, raw: dict, rng):
+        """Train step with host-deduped row-sparse embedding updates: the
+        model embeds compact slots against the batch's [C, E] row slice;
+        only those rows see scatter-add + Adam (sparse_embed.py)."""
+        uniq, valid, remap = raw["emb_uniq"], raw["emb_valid"], raw["emb_remap"]
+        batch = self.builder(self.tables, raw)
+        for k in self._token_keys:
+            if k in batch:
+                batch[k] = remap[batch[k]]
+        labels = raw["labels"]
+        rows = state.emb.table[uniq]
+
+        def loss_of(params_rest, emb_rows):
+            # compact [C, E] rows ride the shape-unchecked 'emb_over'
+            # collection (layers.WordEmbed); tokens were remapped to slots
+            variables = {
+                "params": params_rest,
+                "emb_over": {self.config.sparse_embed_param: {"table": emb_rows}},
+            }
+            mutable = False
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+                mutable = ["batch_stats"]
+            out = self.model.apply(
+                variables, batch, train=True, rngs={"dropout": rng}, mutable=mutable
+            )
+            logits, new_stats = out if mutable else (out, {})
+            return self.loss_fn(logits, labels), new_stats
+
+        (loss, new_stats), (g_rest, g_rows) = jax.value_and_grad(
+            loss_of, argnums=(0, 1), has_aux=True)(state.params, rows)
+        updates, opt_state = self.tx.update(g_rest, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        lr = _hyperparams(opt_state)["learning_rate"]
+        emb = rowwise_adam(state.emb, uniq, valid, g_rows, lr, state.step + 1)
+        new_bs = new_stats.get("batch_stats", state.batch_stats) if state.batch_stats else state.batch_stats
+        return (
+            state.replace(step=state.step + 1, params=params,
+                          batch_stats=new_bs, opt_state=opt_state, emb=emb),
+            loss,
+        )
+
     @partial(jax.jit, static_argnums=0, donate_argnums=1)
     def _train_step(self, state: TrainState, raw: dict, rng) -> tuple[TrainState, jnp.ndarray]:
         return self._step_impl(state, raw, rng)
@@ -247,9 +351,11 @@ class Trainer:
 
         return jax.lax.scan(body, state, stacked)
 
-    @staticmethod
-    def _variables(state: TrainState) -> dict:
-        variables = {"params": state.params}
+    def _variables(self, state: TrainState) -> dict:
+        params = state.params
+        if state.emb is not None:  # sparse mode: reinsert the full table
+            params = self._with_emb(params, state.emb.table)
+        variables = {"params": params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
         return variables
@@ -275,6 +381,14 @@ class Trainer:
 
     def _put(self, raw: dict) -> dict:
         raw = {k: v for k, v in raw.items() if k not in ("n_valid", "rows")}
+        if self.mesh is not None:
+            # dedup side-tables are whole-batch values, not per-row data:
+            # replicate them instead of splitting over the 'data' axis
+            emb = {k: put_replicated(raw.pop(k), self.mesh)
+                   for k in [k for k in raw if k.startswith("emb_")]}
+            out = shard_batch(raw, self.mesh)
+            out.update(emb)
+            return out
         return shard_batch(raw, self.mesh)
 
     def _put_stacked(self, raws: list[dict]) -> dict:
@@ -354,6 +468,12 @@ class Trainer:
         def work():
             group: list[dict] = []
             for raw in it:
+                if self._sparse:
+                    # host dedup rides this prefetch-thread generator,
+                    # overlapped with the running device step
+                    raw = prep_sparse_batch(
+                        raw, self._host_tables, self._sparse_tables,
+                        self._vocab_size, self.config.sparse_min_bucket)
                 if not use_scan:
                     yield ("step", self._put(raw))
                     continue
@@ -400,6 +520,7 @@ class Trainer:
         best_metric = -np.inf if cfg.monitor_mode == "max" else np.inf
         best_params = snapshot(self.state.params)
         best_stats = snapshot(self.state.batch_stats)
+        best_emb = snapshot(self.state.emb) if self.state.emb is not None else None
         es_wait = lr_wait = 0
         lr = cfg.learning_rate
         stop = False
@@ -423,6 +544,8 @@ class Trainer:
                     best_metric, es_wait, lr_wait = val_auc, 0, 0
                     best_params = snapshot(self.state.params)
                     best_stats = snapshot(self.state.batch_stats)
+                    if self.state.emb is not None:
+                        best_emb = snapshot(self.state.emb)
                 else:
                     es_wait += 1
                     lr_wait += 1
@@ -445,7 +568,8 @@ class Trainer:
                 self.log("[trainer] early stopping; restoring best weights")
                 break
         if val_feed is not None and val_labels is not None:
-            self.state = self.state.replace(params=best_params, batch_stats=best_stats)
+            self.state = self.state.replace(params=best_params, batch_stats=best_stats,
+                                            emb=best_emb if self.state.emb is not None else None)
             # the step counter is unchanged by the restore, so the
             # step-keyed article-vector cache would silently serve
             # final-epoch vectors against best-epoch user-tower params
