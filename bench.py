@@ -68,6 +68,47 @@ def _batches(seed: int, steps: int, bs: int, n_rows: int) -> dict[str, np.ndarra
     }
 
 
+def _token_table(rng: np.random.Generator, dist: str) -> np.ndarray:
+    """The [N+1, T] article token table. ``zipf`` (default) draws token
+    ids with Zipf(1.07) frequencies over the vocab with a shuffled
+    rank->id assignment — the realistic regime for tokenized titles
+    (round-2 used ``uniform``, which touches nearly every vocab row per
+    bs-512 batch and thereby biased the embedding-optimizer design; see
+    BENCH notes / scripts/bench_embed_grad2.py)."""
+    shape = (N_ARTICLES + 1, TITLE)
+    if dist == "uniform":
+        return rng.integers(0, VOCAB, size=shape).astype(np.int32)
+    m = shape[0] * shape[1]
+    ranks = rng.zipf(1.07, size=3 * m)
+    ranks = ranks[ranks <= VOCAB][:m] - 1
+    perm = rng.permutation(VOCAB).astype(np.int32)
+    return perm[ranks].reshape(shape).astype(np.int32)
+
+
+def _prep_sparse(all_b: dict, table: np.ndarray, steps: int) -> list[dict]:
+    """Per-step host dedup (in production this rides the prefetch thread;
+    here it is done up-front like the batch staging). All steps are padded
+    to ONE common row-bucket so the loop stays a single compiled program."""
+    from ebnerd_tpu.training.sparse_embed import bucket_size, prep_sparse_batch
+
+    raws = [{k: v[i] for k, v in all_b.items()} for i in range(steps)]
+    preps, max_rows = [], 0
+    for raw in raws:
+        p = prep_sparse_batch(raw, {"title": table}, ("title",), VOCAB,
+                              min_bucket=4096)
+        max_rows = max(max_rows, int(p["emb_valid"].sum()))
+        preps.append(p)
+    bucket = bucket_size(max_rows, 4096)
+    for p in preps:
+        n = int(p["emb_valid"].sum())
+        uniq = np.zeros(bucket, np.int32)
+        uniq[:n] = p["emb_uniq"][:n]
+        valid = np.zeros(bucket, np.float32)
+        valid[:n] = 1.0
+        p["emb_uniq"], p["emb_valid"] = uniq, valid
+    return preps
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -89,14 +130,19 @@ def main() -> None:
     fused_block = int(os.environ.get("BENCH_FUSED_BLOCK", "16"))
 
     dropout = float(os.environ.get("BENCH_DROPOUT", "0.2"))
+    # realistic Zipfian token stats by default; BENCH_TOKEN_DIST=uniform
+    # reproduces the round-2 setting
+    token_dist = os.environ.get("BENCH_TOKEN_DIST", "zipf")
+    # row-sparse embedding updates (trainer sparse_embedding mode)
+    sparse = os.environ.get("BENCH_SPARSE", "1") != "0"
     hp = HParamsNRMS(dropout=dropout)  # title 30, hist 20, 20x20 heads, attn 200
     model = NRMS(hp, vocab_size=VOCAB, word_emb_dim=EMB, dtype=dtype,
                  use_fused_encoder=fused, fused_block_n=fused_block)
     rng = np.random.default_rng(0)
-    table = rng.integers(0, VOCAB, size=(N_ARTICLES + 1, TITLE)).astype(np.int32)
+    table = _token_table(rng, token_dist)
     trainer = Trainer(
         model, {"title": table}, token_batch,
-        TrainerConfig(learning_rate=1e-4, seed=0),
+        TrainerConfig(learning_rate=1e-4, seed=0, sparse_embedding=sparse),
         log_fn=lambda s: None,
     )
     first = {k: v[0] for k, v in _batches(0, 1, bs, N_ARTICLES + 1).items()}
@@ -107,8 +153,16 @@ def main() -> None:
     # the same one step ahead in production), then drive the per-step jit;
     # dispatch is async, so consecutive steps pipeline on device
     all_b = _batches(2, warmup + steps, bs, N_ARTICLES + 1)
-    staged = [{k: jnp.asarray(v[i]) for k, v in all_b.items()}
-              for i in range(warmup + steps)]
+    if sparse:
+        t_prep = time.perf_counter()
+        raws = _prep_sparse(all_b, table, warmup + steps)
+        prep_ms = (time.perf_counter() - t_prep) / (warmup + steps) * 1000
+        sparse_rows = int(raws[0]["emb_valid"].sum())
+        staged = [{k: jnp.asarray(v) for k, v in raw.items()} for raw in raws]
+    else:
+        prep_ms, sparse_rows = 0.0, 0
+        staged = [{k: jnp.asarray(v[i]) for k, v in all_b.items()}
+                  for i in range(warmup + steps)]
     jax.block_until_ready([staged[-1]["hist_idx"]])
 
     # pre-split all dropout keys: a per-step host-side split is a tiny
@@ -148,7 +202,12 @@ def main() -> None:
         "vs_gpu_estimate": round(ips / 3500.0, 2),
         "mfu_pct": round(mfu, 2),
         "step_ms": round(dt / steps * 1000, 2),
-        "config": f"bs{bs} bf16 fused={int(fused)} steps{steps}",
+        "config": (f"bs{bs} bf16 fused={int(fused)} sparse={int(sparse)} "
+                   f"tok={token_dist} steps{steps}"),
+        # host dedup cost per step (rides the prefetch thread in
+        # production) and the touched-row count, for the sparse path
+        "sparse_prep_ms": round(prep_ms, 2),
+        "sparse_rows": sparse_rows,
     }))
 
 

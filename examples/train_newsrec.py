@@ -87,6 +87,9 @@ def get_args(argv=None):
     p.add_argument("--dropout", type=float, default=0.2)
     p.add_argument("--loss", type=str, default="cross_entropy_loss")
     p.add_argument("--dtype", choices=("float32", "bfloat16"), default="float32")
+    p.add_argument("--sparse_embedding", action="store_true",
+                   help="host-deduped row-sparse word-embedding updates "
+                        "(TF sparse-Adam semantics; training/sparse_embed.py)")
     p.add_argument("--use_fused_encoder", action="store_true",
                    help="pallas fused attention+pooling kernels (nrms only)")
     p.add_argument("--no_two_tower_eval", action="store_true",
@@ -268,6 +271,7 @@ def main(argv=None):
         model, tables, builder_for(args.model),
         TrainerConfig(learning_rate=args.learning_rate, loss=args.loss,
                       l2_regularization=l2, seed=args.seed,
+                      sparse_embedding=args.sparse_embedding,
                       two_tower_eval=False if args.no_two_tower_eval else "auto"),
     )
     (out_dir / "args.json").write_text(json.dumps(vars(args), indent=2, default=str))

@@ -279,3 +279,52 @@ def test_sparse_config_validation():
         Trainer(_model(), {"title": table}, token_batch,
                 TrainerConfig(sparse_embedding=True, l2_regularization=1e-4),
                 log_fn=lambda s: None)
+
+
+def test_sparse_naml_multi_table_dedup():
+    """NAML embeds title AND body tokens through the shared word
+    embedding; the host dedup must union both tables' tokens."""
+    from ebnerd_tpu.models.config import HParamsNAML
+    from ebnerd_tpu.models.inputs import naml_batch
+    from ebnerd_tpu.models.newsrec import NAML
+
+    rng = np.random.default_rng(7)
+    TB = 8
+    tables = {
+        "title": rng.integers(0, VOCAB, (N_ART + 1, T)).astype(np.int32),
+        "body": rng.integers(0, VOCAB, (N_ART + 1, TB)).astype(np.int32),
+        "cat": rng.integers(0, 10, (N_ART + 1,)).astype(np.int32),
+        "subcat": rng.integers(0, 10, (N_ART + 1,)).astype(np.int32),
+    }
+    hp = HParamsNAML(title_size=T, body_size=TB, history_size=H,
+                     vert_num=10, subvert_num=10, filter_num=16,
+                     attention_hidden_dim=16, dropout=0.0)
+    model = NAML(hp, vocab_size=VOCAB, word_emb_dim=EMB)
+    cfg = TrainerConfig(learning_rate=1e-2, seed=0, sparse_embedding=True,
+                        sparse_min_bucket=8, early_stopping_patience=None,
+                        lr_patience=None)
+    tr = Trainer(model, tables, naml_batch, cfg, log_fn=lambda s: None)
+    assert set(tr._sparse_tables) == {"title", "body"}
+    raw = _batch(np.random.default_rng(8))
+    tr.init_state(raw)
+    prep = prep_sparse_batch(raw, tr._host_tables, tr._sparse_tables, VOCAB,
+                             min_bucket=8)
+    idx = np.concatenate([raw["hist_idx"].ravel(), raw["cand_idx"].ravel()])
+    want = np.union1d(np.unique(tables["title"][idx]),
+                      np.unique(tables["body"][idx]))
+    n = int(prep["emb_valid"].sum())
+    assert set(want.tolist()) == set(prep["emb_uniq"][:n].tolist())
+    key = jax.random.key(0, impl=cfg.rng_impl)
+    tr.state, loss = tr._train_step(tr.state, tr._put(prep), key)
+    assert np.isfinite(float(loss))
+    # dense comparison at step 1 (zero moments -> exact match)
+    td = Trainer(model, tables, naml_batch,
+                 TrainerConfig(learning_rate=1e-2, seed=0,
+                               early_stopping_patience=None, lr_patience=None),
+                 log_fn=lambda s: None)
+    td.init_state(dict(raw))
+    td.state, loss_d = td._train_step(td.state, td._put(dict(raw)), key)
+    assert float(loss_d) == pytest.approx(float(loss), abs=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(tr.state.emb.table),
+        np.asarray(td.state.params["word_embedding"]["embedding"]), atol=1e-6)
