@@ -131,10 +131,16 @@ def main() -> None:
 
     dropout = float(os.environ.get("BENCH_DROPOUT", "0.2"))
     # realistic Zipfian token stats by default; BENCH_TOKEN_DIST=uniform
-    # reproduces the round-2 setting
+    # reproduces the round-2 setting. Measured irrelevant to the dense
+    # step (4,014.3 vs 4,014.4 imp/s, r3): the dense scatter+Adam cost is
+    # vocab-size-bound, not unique-row-bound.
     token_dist = os.environ.get("BENCH_TOKEN_DIST", "zipf")
-    # row-sparse embedding updates (trainer sparse_embedding mode)
-    sparse = os.environ.get("BENCH_SPARSE", "1") != "0"
+    # row-sparse embedding updates (trainer sparse_embedding mode).
+    # Default OFF: measured SLOWER end-to-end on v5e at Zipfian stats
+    # (3,561 vs 4,014 imp/s; row gather/scatter of ~51k touched rows
+    # costs more than the dense [V,E] streaming sweep — see
+    # scripts/bench_embed_grad2.py results in STATUS.md).
+    sparse = os.environ.get("BENCH_SPARSE", "0") != "0"
     hp = HParamsNRMS(dropout=dropout)  # title 30, hist 20, 20x20 heads, attn 200
     model = NRMS(hp, vocab_size=VOCAB, word_emb_dim=EMB, dtype=dtype,
                  use_fused_encoder=fused, fused_block_n=fused_block)

@@ -28,6 +28,17 @@ deviation; this path restores reference parity AND removes the traffic.
 With zero-initialized moments the two paths coincide until a row is
 touched at step t1 and skipped at some later step t2 (dense then applies a
 momentum-decay update the reference never would) — covered by tests.
+
+PERFORMANCE (measured, v5e, bs512, Zipf-1.07 tokens -> ~51k touched rows):
+the sparse path is SLOWER end to end on TPU — 3,561 vs 4,014 imp/s
+(bench.py r3), isolated slab 32.6 ms (row gather + row-wise Adam +
+scatter-back) vs 6.6 ms for the dense scatter + streaming [V, E] Adam
+sweep (scripts/bench_embed_grad2.py). TPU HBM strongly favors the dense
+sequential sweep over ~51k-row random access; the intuition that "touched
+rows ≪ vocab ⇒ sparse wins" does not hold on this hardware. Keep this
+path for (a) exact reference-optimizer parity when it matters and (b)
+memory-constrained/DCN settings where update traffic, not time, binds;
+the production default is dense (TrainerConfig.sparse_embedding=False).
 """
 from __future__ import annotations
 

@@ -104,9 +104,10 @@ class TrainerConfig:
     two_tower_eval: Any = "auto"
     # host-deduped row-sparse word-embedding updates (sparse_embed.py):
     # only the vocabulary rows a batch touches are scattered/Adam-updated
-    # — the reference's own TF sparse-Adam semantics, and a large HBM-
-    # traffic win at realistic (Zipfian) token statistics. Requires the
-    # model to own a top-level "word_embedding" nn.Embed.
+    # — the reference's own TF sparse-Adam semantics. Default OFF: on v5e
+    # the dense streaming sweep measured FASTER end to end even at
+    # Zipfian token stats (see sparse_embed.py PERFORMANCE note). Requires
+    # the model to own a top-level "word_embedding" WordEmbed.
     sparse_embedding: bool = False
     sparse_embed_param: str = "word_embedding"
     sparse_min_bucket: int = 4096
