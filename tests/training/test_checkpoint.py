@@ -85,3 +85,39 @@ def test_manager_keep_and_best(tmp_path):
     )
     latest, step = mgr.restore_latest(tr.state)
     assert step == 3
+
+
+def test_sparse_state_roundtrip(tmp_path):
+    """TrainState with the SparseEmbedState field (table + moments outside
+    opt_state) round-trips through orbax."""
+    from ebnerd_tpu.training.sparse_embed import prep_sparse_batch
+
+    hp = HParamsNRMS(title_size=T, history_size=H, head_num=2, head_dim=4,
+                     attention_hidden_dim=8)
+    model = NRMS(hp, vocab_size=VOCAB, word_emb_dim=8)
+    table = np.random.default_rng(0).integers(1, VOCAB, (21, T)).astype(np.int32)
+    tr = Trainer(model, {"title": table}, token_batch,
+                 TrainerConfig(learning_rate=1e-3, seed=0,
+                               sparse_embedding=True, sparse_min_bucket=8),
+                 log_fn=lambda s: None)
+    tr.init_state(_batch(0))
+    key = jax.random.key(0, impl=tr.config.rng_impl)
+    for i in range(2):
+        raw = prep_sparse_batch(_batch(i), tr._host_tables, tr._sparse_tables,
+                                VOCAB, 8)
+        tr.state, _ = tr._train_step(tr.state, raw, key)
+    save_checkpoint(tr.state, tmp_path, step=2)
+    tr2 = Trainer(model, {"title": table}, token_batch,
+                  TrainerConfig(learning_rate=1e-3, seed=0,
+                                sparse_embedding=True, sparse_min_bucket=8),
+                  log_fn=lambda s: None)
+    tr2.init_state(_batch(0))
+    restored = restore_checkpoint(tr2.state, tmp_path, step=2)
+    assert int(restored.step) == 2
+    np.testing.assert_array_equal(np.asarray(restored.emb.table),
+                                  np.asarray(tr.state.emb.table))
+    np.testing.assert_array_equal(np.asarray(restored.emb.m),
+                                  np.asarray(tr.state.emb.m))
+    for a, b in zip(jax.tree_util.tree_leaves(restored.params),
+                    jax.tree_util.tree_leaves(tr.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
