@@ -229,6 +229,9 @@ class MaskedGRU(nn.Module):
         def step(cell, carry, inp):
             x_t, m_t = inp
             new_carry, _ = cell(carry, x_t)
+            # GRUCell promotes bf16 state x fp32 params -> fp32; keep the
+            # scan carry type-stable at the caller's state dtype
+            new_carry = new_carry.astype(carry.dtype)
             carry = jnp.where(m_t[:, None].astype(bool), new_carry, carry)
             return carry, ()
 

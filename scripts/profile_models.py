@@ -89,6 +89,7 @@ def main():
     }
     print(f"bs={BS} device={jax.devices()[0]} dtype=bf16")
     for name in which:
+      try:
         model = build(name)
         builder = builder_for(name if name != "fastformer" else "fastformer")
         raw = {
@@ -117,13 +118,12 @@ def main():
             updates, s2 = tx.update(grads, s, p)
             return optax.apply_updates(p, updates), s2, loss
 
-        try:
-            ms = timed(step, params, opt_state, raw)
-            print(f"{name:12s} full train step {ms:8.2f} ms/step "
-                  f"{BS / ms * 1000:9.0f} imp/s", flush=True)
-        except Exception as e:  # noqa: BLE001
-            print(f"{name:12s} FAILED: {type(e).__name__}: {str(e)[:140]}",
-                  flush=True)
+        ms = timed(step, params, opt_state, raw)
+        print(f"{name:12s} full train step {ms:8.2f} ms/step "
+              f"{BS / ms * 1000:9.0f} imp/s", flush=True)
+      except Exception as e:  # noqa: BLE001 - one model must not kill the sweep
+        print(f"{name:12s} FAILED: {type(e).__name__}: {str(e)[:140]}",
+              flush=True)
 
 
 if __name__ == "__main__":
