@@ -102,21 +102,24 @@ def main():
     print(f"full train step (bench default)      {ms_full:8.2f} ms", flush=True)
 
     # -- noemb: word embedding frozen ---------------------------------------
+    # the frozen [V, E] table rides the STATE tuple: a closure capture
+    # would bake a 1 GB constant into the executable and send the compile
+    # into constant-folding pathology (observed: >25 min, killed)
     emb_leaf = params["word_embedding"]
     rest = {k: v for k, v in params.items() if k != "word_embedding"}
 
     @jax.jit
     def noemb_step(state, raw, rng_key, eps):
-        p, s = state
+        p, s, emb = state
 
         def lf(pr):
-            return loss_of({**pr, "word_embedding": emb_leaf}, raw, rng_key, eps)
+            return loss_of({**pr, "word_embedding": emb}, raw, rng_key, eps)
 
         loss, grads = jax.value_and_grad(lf)(p)
         updates, s2 = tx.update(grads, s, p)
-        return (optax.apply_updates(p, updates), s2), loss * 1e-20
+        return (optax.apply_updates(p, updates), s2, emb), loss * 1e-20
 
-    ms_noemb = drive(noemb_step, (rest, tx.init(rest)))
+    ms_noemb = drive(noemb_step, (rest, tx.init(rest), emb_leaf))
     print(f"  frozen embedding (no scatter/Adam) {ms_noemb:8.2f} ms  "
           f"(emb grad+Adam = {ms_full - ms_noemb:+.2f})", flush=True)
 
