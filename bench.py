@@ -31,6 +31,15 @@ from pathlib import Path
 
 import numpy as np
 
+# Persistent XLA compile cache: remote-TPU compiles of the bench step run
+# 5-25 min cold; with the cache, repeat runs (smoke gate, A/B sweeps, the
+# driver's official run) skip straight to execution. Harmless if the
+# deployed PJRT plugin ignores it.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", str(Path(__file__).resolve().parent / ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
 # Reference reproduction config (reference: README.md:118-133, args_nrms.py)
 VOCAB = 250_002      # xlm-roberta-large vocab
 EMB = 1_024          # xlm-roberta-large word-embedding dim
