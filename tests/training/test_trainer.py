@@ -199,3 +199,21 @@ def test_data_parallel_mesh_matches_single_device(setup):
     # after training: psum reduction order + adam amplification -> loose tol
     np.testing.assert_allclose(np.asarray(s1.values), np.asarray(s2.values),
                                atol=3e-3)
+
+
+def test_article_index_fresh_after_best_weight_restore(setup):
+    """Regression (r2 advisor, high): the two-tower article-vector cache
+    is keyed on the optimizer step, which fit()'s best-weights restore
+    does NOT change — scoring after fit must not serve vectors encoded
+    with the final epoch's params against best-epoch user-tower params.
+    fit() clears the cache on restore; two-tower and full-forward scores
+    must agree afterwards."""
+    lookup, train_feed, val_feed, val_labels = setup
+    trainer = _make_trainer(lookup)
+    trainer.fit(train_feed, val_feed, val_labels, epochs=2)
+    assert getattr(trainer, "_art_cache", "unset") is None
+    s_tt = trainer.score(val_feed, two_tower=True)
+    assert trainer._art_cache is not None  # refilled at restored params
+    s_full = trainer.score(val_feed, two_tower=False)
+    np.testing.assert_allclose(np.asarray(s_tt.values),
+                               np.asarray(s_full.values), atol=2e-5)
