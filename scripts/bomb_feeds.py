@@ -17,6 +17,8 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from ebnerd_tpu.utils import compile_cache  # noqa: E402  (persistent XLA cache)
+
 from ebnerd_tpu import constants as c
 from ebnerd_tpu.data.behaviors import (
     create_binary_labels_column,

@@ -22,6 +22,8 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from ebnerd_tpu.utils import compile_cache  # noqa: E402  (persistent XLA cache)
+
 os.environ.setdefault("BENCH_STEPS", "2")
 os.environ.setdefault("BENCH_WARMUP", "1")
 
