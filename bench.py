@@ -31,10 +31,10 @@ from pathlib import Path
 
 import numpy as np
 
-# Persistent XLA compile cache: remote-TPU compiles of the bench step run
-# 5-25 min cold; with the cache, repeat runs (smoke gate, A/B sweeps, the
-# driver's official run) skip straight to execution. Harmless if the
-# deployed PJRT plugin ignores it.
+# Persistent XLA compile cache env (utils/compile_cache.py has the
+# measured caveats: the deployed TPU plugin only persists small host-side
+# programs; big-step repeat speedups come from server-side caching).
+# Harmless on TPU, a real win for any CPU execution of this module.
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR", str(Path(__file__).resolve().parent / ".jax_cache"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")

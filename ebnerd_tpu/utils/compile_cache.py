@@ -1,10 +1,14 @@
-"""Persistent XLA compile cache (verified honored by the deployed
-remote-TPU PJRT plugin: bench.py's .jax_cache fills on first run and
-repeat runs skip the 5-25 min cold compiles).
+"""Persistent XLA compile cache env setup.
 
-Import (or call ``enable()``) BEFORE the first ``import jax`` takes
-effect on backend initialization — module import order is enough because
-the env vars are read lazily at first compile.
+Measured on the deployed remote-TPU plugin (r3): the on-disk cache
+persists only small host-side programs (~200 entries) — the big TPU
+train-step executables are NOT serialized by this plugin, so cold-start
+compiles still happen per process; fast repeats (observed: 35 min cold →
+~2 min) come from SERVER-side compile caching keyed on the program, which
+needs identical shapes/program, not this env. Harmless either way, and
+on CPU (tests) it is the real win — kept enabled everywhere.
+
+Import (or call ``enable()``) before jax triggers its first compile.
 """
 from __future__ import annotations
 
