@@ -127,7 +127,11 @@ def main() -> None:
     from ebnerd_tpu.models.newsrec import NRMS
     from ebnerd_tpu.training.trainer import Trainer, TrainerConfig
 
-    bs = int(os.environ.get("BENCH_BS", "512"))
+    # batch-size scaling measured r3 (same program family, 30 steps):
+    # bs512 4,014 imp/s / 12.4% MFU; bs1024 4,273 / 13.2%; bs2048 4,425 /
+    # 13.6%. Default 1024: most of the scaling win without doubling the
+    # step latency again (240 ms vs 463 ms at bs2048).
+    bs = int(os.environ.get("BENCH_BS", "1024"))
     steps = int(os.environ.get("BENCH_STEPS", "30"))
     warmup = int(os.environ.get("BENCH_WARMUP", "5"))
     # bf16 compute (fp32 params) is the TPU-native default; measured AUC
