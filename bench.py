@@ -140,7 +140,7 @@ def main() -> None:
     # fused Pallas news encoder is the default (wins end to end; see
     # BENCH notes / ops/news_encoder.py); BENCH_FUSED=0 for pure XLA
     fused = os.environ.get("BENCH_FUSED", "1") != "0"
-    fused_block = int(os.environ.get("BENCH_FUSED_BLOCK", "16"))
+    fused_block = int(os.environ.get("BENCH_FUSED_BLOCK", "8"))
 
     dropout = float(os.environ.get("BENCH_DROPOUT", "0.2"))
     # realistic Zipfian token stats by default; BENCH_TOKEN_DIST=uniform

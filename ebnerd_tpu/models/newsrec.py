@@ -166,7 +166,7 @@ class NRMS(nn.Module):
     word_emb_init: Optional[Callable] = None
     dtype: jnp.dtype = jnp.float32
     use_fused_encoder: bool = False
-    fused_block_n: int = 16
+    fused_block_n: int = 8  # measured optimum (ops/news_encoder.py block sweep)
     fused_interpret: bool = False  # interpret-mode kernels (CPU tests)
     # training dropout masks from the kernel's ON-CHIP PRNG instead of
     # host-side bernoulli tensors: no mask generation or HBM mask traffic,
