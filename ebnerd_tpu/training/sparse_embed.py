@@ -18,16 +18,19 @@ the running step) and updates only the touched rows on device:
            [C, E] slice, scatter-add grads by slot, row-wise Adam on the
            touched rows, scatter the updated rows/moments back.
 
-Untouched rows keep stale Adam moments — exactly the reference's own
-behavior: TF/Keras legacy Adam receives ``IndexedSlices`` for embedding
-grads and runs its sparse kernel, which neither decays moments of nor
-applies momentum-carryover updates to untouched rows (reference optimizer:
-base_model.py:69-80). Dense-Adam JAX training is therefore the semantic
-deviation; this path restores reference parity AND removes the traffic.
+SEMANTICS — a deliberate deviation, NOT reference parity. Untouched rows
+here keep stale Adam moments and receive no update (LazyAdam-style
+row-sparse Adam, as in tf-addons LazyAdam). The reference's own optimizer
+(keras.optimizers.Adam, TF 2.12–2.15; base_model.py:69-80) handles the
+embedding's ``IndexedSlices`` grad with DENSE moment decay and a DENSE
+``variable.assign_sub`` over ALL rows — identical to dense Adam on a
+zero-filled gradient. The dense default (``sparse_embedding=False``) is
+therefore the reference-parity path; this mode trades that exactness for
+lower update traffic/memory in settings where that binds.
 
 With zero-initialized moments the two paths coincide until a row is
-touched at step t1 and skipped at some later step t2 (dense then applies a
-momentum-decay update the reference never would) — covered by tests.
+touched at step t1 and skipped at some later step t2 (dense/reference
+then applies a momentum-decay update this mode skips) — covered by tests.
 
 PERFORMANCE (measured, v5e, bs512, Zipf-1.07 tokens -> ~51k touched rows):
 the sparse path is SLOWER end to end on TPU — 3,561 vs 4,014 imp/s
@@ -36,9 +39,10 @@ scatter-back) vs 6.6 ms for the dense scatter + streaming [V, E] Adam
 sweep (scripts/bench_embed_grad2.py). TPU HBM strongly favors the dense
 sequential sweep over ~51k-row random access; the intuition that "touched
 rows ≪ vocab ⇒ sparse wins" does not hold on this hardware. Keep this
-path for (a) exact reference-optimizer parity when it matters and (b)
-memory-constrained/DCN settings where update traffic, not time, binds;
-the production default is dense (TrainerConfig.sparse_embedding=False).
+path for memory-constrained/DCN settings where update traffic, not time,
+binds; the production default is dense
+(TrainerConfig.sparse_embedding=False), which is also the
+reference-parity path (see SEMANTICS above).
 """
 from __future__ import annotations
 

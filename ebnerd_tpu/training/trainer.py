@@ -104,13 +104,19 @@ class TrainerConfig:
     two_tower_eval: Any = "auto"
     # host-deduped row-sparse word-embedding updates (sparse_embed.py):
     # only the vocabulary rows a batch touches are scattered/Adam-updated
-    # — the reference's own TF sparse-Adam semantics. Default OFF: on v5e
-    # the dense streaming sweep measured FASTER end to end even at
-    # Zipfian token stats (see sparse_embed.py PERFORMANCE note). Requires
-    # the model to own a top-level "word_embedding" WordEmbed.
+    # — LazyAdam-style semantics, a DELIBERATE deviation from the
+    # reference's dense-decay Adam (see sparse_embed.py SEMANTICS).
+    # Default OFF: dense is both the parity path and measured FASTER end
+    # to end on v5e even at Zipfian token stats (PERFORMANCE note there).
+    # Requires the model to own a top-level "word_embedding" WordEmbed.
     sparse_embedding: bool = False
     sparse_embed_param: str = "word_embedding"
     sparse_min_bucket: int = 4096
+    # table name -> batch keys holding word-token ids for the sparse-embed
+    # dedup (None = sparse_embed.TOKEN_KEYS_BY_TABLE). Any 2-D int table
+    # NOT covered here makes sparse mode raise: its vocab ids would
+    # silently remap to slot 0 and mis-route gradients.
+    sparse_token_tables: Optional[dict] = None
 
 
 class Trainer:
@@ -176,17 +182,35 @@ class Trainer:
             self._vocab_size = getattr(model, "vocab_size", None)
             if self._vocab_size is None:
                 raise ValueError("sparse_embedding needs model.vocab_size")
+            token_keys_map = (config.sparse_token_tables
+                              if config.sparse_token_tables is not None
+                              else TOKEN_KEYS_BY_TABLE)
+            # every 2-D integer table feeds word tokens through the shared
+            # embedding; one missing from the map would have its vocab ids
+            # remapped to slot 0 silently (wrong rows, mis-routed grads)
+            unmapped = [
+                k for k, v in tables.items()
+                if np.asarray(v).ndim == 2
+                and np.issubdtype(np.asarray(v).dtype, np.integer)
+                and k not in token_keys_map
+            ]
+            if unmapped:
+                raise ValueError(
+                    f"sparse_embedding: token table(s) {unmapped} not in the "
+                    "token-keys map; pass TrainerConfig.sparse_token_tables "
+                    "covering them")
             # host copies of the token tables drive the prefetch-thread dedup
             self._host_tables = {
                 k: np.asarray(v) for k, v in tables.items()
-                if k in TOKEN_KEYS_BY_TABLE
+                if k in token_keys_map
             }
             self._sparse_tables = tuple(self._host_tables)
             if not self._sparse_tables:
                 raise ValueError("sparse_embedding: no token tables found")
+            self._token_keys_map = token_keys_map
             self._token_keys = tuple(
                 key for name in self._sparse_tables
-                for key in TOKEN_KEYS_BY_TABLE[name])
+                for key in token_keys_map[name])
         self.tx = optax.inject_hyperparams(optax.adam)(learning_rate=config.learning_rate)
         if config.accumulation_steps > 1:
             self.tx = optax.MultiSteps(self.tx, every_k_schedule=config.accumulation_steps)

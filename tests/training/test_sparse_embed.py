@@ -2,11 +2,12 @@
 
 Semantics under test (module docstring there): the sparse path equals
 dense Adam exactly whenever every touched-set row is touched (so at step
-1 from zero moments the WHOLE table matches), and implements the
-reference's TF legacy sparse-Adam behavior for rows skipped after being
-touched — no moment decay, no momentum-carryover update (reference
-optimizer: base_model.py:69-80; embedding grads are IndexedSlices,
-nrms.py:125-130)."""
+1 from zero moments the WHOLE table matches), and implements
+LazyAdam-style behavior for rows skipped after being touched — no moment
+decay, no momentum-carryover update. This is a deliberate deviation from
+the reference's keras Adam, whose IndexedSlices handling decays moments
+and updates ALL rows densely (base_model.py:69-80); the trainer's dense
+default is the reference-parity path."""
 import numpy as np
 import pytest
 
@@ -151,8 +152,9 @@ def test_multi_step_matches_dense_when_every_row_always_touched():
 
 def test_stale_moment_semantics_rows_skip_updates():
     """A row touched at step 1 then absent at step 2 must NOT move at
-    step 2 (the reference's sparse-Adam behavior); dense Adam would apply
-    a momentum-carryover update there."""
+    step 2 (LazyAdam-style row-sparse semantics — a deliberate deviation;
+    the reference's dense-decay Adam, like the trainer's dense default,
+    WOULD apply a momentum-carryover update there)."""
     rng = np.random.default_rng(4)
     table = _table(rng)
     b1 = _batch(np.random.default_rng(5))
@@ -182,8 +184,7 @@ def test_stale_moment_semantics_rows_skip_updates():
 
 def test_rowwise_adam_matches_reference_formula():
     """Hand-computed TF-style sparse Adam on a 3-row toy table."""
-    table = jnp.asarray(np.arange(12, np.float32).reshape(4, 3)
-                        if False else np.ones((4, 3), np.float32))
+    table = jnp.asarray(np.ones((4, 3), np.float32))
     st = SparseEmbedState.create(table)
     uniq = jnp.asarray([1, 3, 0], jnp.int32)
     valid = jnp.asarray([1.0, 1.0, 0.0])  # pad slot duplicates row 0
