@@ -200,11 +200,22 @@ def sample_article_ids(
                 "cannot take a larger sample than the total population when "
                 "`with_replacement=false`"
             )
-        # vectorized per-row choice without replacement: argsort random keys
-        keys = rng.random((n_rows, int(lengths.max()) if n_rows else 0))
-        keys[np.arange(keys.shape[1])[None, :] >= lengths[:, None]] = np.inf
-        draws = np.argsort(keys, axis=1)[:, :n]
-        sampled = col.values[col.offsets[:-1, None] + draws]
+        # vectorized per-row choice without replacement: argsort random
+        # keys, chunked over rows so the key matrix stays ~64 MB however
+        # large the split (e.g. 250-wide beyond-accuracy pools over
+        # millions of rows would otherwise allocate a multi-GB matrix).
+        # Chunking is bit-identical to one call: the generator fills
+        # row-major from one sequential stream either way.
+        max_len = int(lengths.max()) if n_rows else 0
+        sampled = np.empty((n_rows, n), dtype=col.values.dtype)
+        chunk = max(1, (8 << 20) // max(max_len, 1))
+        lane = np.arange(max_len)[None, :]
+        for s in range(0, n_rows, chunk):
+            e = min(s + chunk, n_rows)
+            keys = rng.random((e - s, max_len))
+            keys[lane >= lengths[s:e, None]] = np.inf
+            draws = np.argsort(keys, axis=1)[:, :n]
+            sampled[s:e] = col.values[col.offsets[s:e, None] + draws]
     return df.with_columns(**{inview_col: Ragged.from_dense(sampled.astype(col.values.dtype))})
 
 
