@@ -52,29 +52,59 @@ NPRATIO = 4
 PEAK_TFLOPS = float(os.environ.get("BENCH_PEAK_TFLOPS", "197"))
 
 
+def _article_flops(d: int = 400, a: int = 200) -> float:
+    """Analytic news-encoder FLOPs for ONE article forward:
+    QKV + attention + pooling (unpadded math)."""
+    t = TITLE
+    return (3 * t * EMB * d * 2          # QKV projections
+            + 2 * t * t * d * 2          # attention logits + apply
+            + t * d * a * 2 + t * a * 2  # additive pooling
+            )
+
+
+def _user_flops(d: int = 400, a: int = 200) -> float:
+    h_hist = HISTORY
+    return 3 * h_hist * d * d * 2 + 2 * h_hist * h_hist * d * 2 + h_hist * d * a * 2
+
+
 def model_flops_per_impression(d: int = 400, a: int = 200) -> float:
-    """Analytic NRMS train-step FLOPs per impression (fwd x3 for bwd):
-    QKV + attention + pooling per article, user encoder, dot scores."""
-    t, h_hist, k = TITLE, HISTORY, NPRATIO + 1
-    per_article = (3 * t * EMB * d * 2          # QKV projections
-                   + 2 * t * t * d * 2          # attention logits + apply
-                   + t * d * a * 2 + t * a * 2  # additive pooling
-                   )
-    user = 3 * h_hist * d * d * 2 + 2 * h_hist * h_hist * d * 2 + h_hist * d * a * 2
-    fwd = (h_hist + k) * per_article + user + k * d * 2
+    """Analytic NRMS train-step FLOPs per impression (fwd x3 for bwd) on
+    the per-slot path: every history/candidate slot encodes its article."""
+    k = NPRATIO + 1
+    fwd = (HISTORY + k) * _article_flops(d, a) + _user_flops(d, a) + k * d * 2
     return 3.0 * fwd
 
 
-def _batches(seed: int, steps: int, bs: int, n_rows: int) -> dict[str, np.ndarray]:
+def _zipf_indices(rng: np.random.Generator, n_rows: int,
+                  shape: tuple, a: float = 1.07) -> np.ndarray:
+    """Article row draws with Zipf(a) popularity over a shuffled
+    rank->article assignment (realistic skew: real inview/history lists
+    concentrate on the day's few hundred active articles; the uniform
+    draw of r2/r3 was the same realism-bias class as the uniform token
+    table fixed in r3 — it hid the duplicate-article rate)."""
+    m = int(np.prod(shape))
+    ranks = rng.zipf(a, size=3 * m)
+    ranks = ranks[ranks <= n_rows][:m] - 1
+    while len(ranks) < m:  # astronomically unlikely at a=1.07; be exact
+        extra = rng.zipf(a, size=m)
+        ranks = np.concatenate([ranks, extra[extra <= n_rows] - 1])[:m]
+    perm = rng.permutation(n_rows).astype(np.int32)
+    return perm[ranks].reshape(shape).astype(np.int32)
+
+
+def _batches(seed: int, steps: int, bs: int, n_rows: int,
+             dist: str = "zipf") -> dict[str, np.ndarray]:
     r = np.random.default_rng(seed)
     k = NPRATIO + 1
     labels = np.zeros((steps, bs, k), np.float32)
     labels[..., 0] = 1.0
-    return {
-        "hist_idx": r.integers(0, n_rows, (steps, bs, HISTORY)).astype(np.int32),
-        "cand_idx": r.integers(0, n_rows, (steps, bs, k)).astype(np.int32),
-        "labels": labels,
-    }
+    if dist == "uniform":
+        hist = r.integers(0, n_rows, (steps, bs, HISTORY)).astype(np.int32)
+        cand = r.integers(0, n_rows, (steps, bs, k)).astype(np.int32)
+    else:
+        hist = _zipf_indices(r, n_rows, (steps, bs, HISTORY))
+        cand = _zipf_indices(r, n_rows, (steps, bs, k))
+    return {"hist_idx": hist, "cand_idx": cand, "labels": labels}
 
 
 def _token_table(rng: np.random.Generator, dist: str) -> np.ndarray:
@@ -148,6 +178,13 @@ def main() -> None:
     # step (4,014.3 vs 4,014.4 imp/s, r3): the dense scatter+Adam cost is
     # vocab-size-bound, not unique-row-bound.
     token_dist = os.environ.get("BENCH_TOKEN_DIST", "zipf")
+    # realistic Zipfian ARTICLE popularity by default (r4; the r2/r3
+    # uniform article draw was the same realism-bias class one level up —
+    # real inview/history lists concentrate on few active articles)
+    art_dist = os.environ.get("BENCH_ARTICLE_DIST", "zipf")
+    # train-time unique-article dedup (training/dedup.py), the production
+    # default: encode each unique article once per step
+    dedup = os.environ.get("BENCH_DEDUP", "1") != "0"
     # row-sparse embedding updates (trainer sparse_embedding mode).
     # Default OFF: measured SLOWER end-to-end on v5e at Zipfian stats
     # (3,561 vs 4,014 imp/s; row gather/scatter of ~51k touched rows
@@ -161,28 +198,41 @@ def main() -> None:
     table = _token_table(rng, token_dist)
     trainer = Trainer(
         model, {"title": table}, token_batch,
-        TrainerConfig(learning_rate=1e-4, seed=0, sparse_embedding=sparse),
+        TrainerConfig(learning_rate=1e-4, seed=0, sparse_embedding=sparse,
+                      dedup_articles=dedup),
         log_fn=lambda s: None,
     )
-    first = {k: v[0] for k, v in _batches(0, 1, bs, N_ARTICLES + 1).items()}
+    first = {k: v[0] for k, v in _batches(0, 1, bs, N_ARTICLES + 1, art_dist).items()}
     trainer.init_state(first)
 
     key = jax.random.key(0, impl=trainer.config.rng_impl)
     # pre-stage every batch on device (the trainer's prefetch thread does
     # the same one step ahead in production), then drive the per-step jit;
     # dispatch is async, so consecutive steps pipeline on device
-    all_b = _batches(2, warmup + steps, bs, N_ARTICLES + 1)
+    all_b = _batches(2, warmup + steps, bs, N_ARTICLES + 1, art_dist)
+    t_prep = time.perf_counter()
+    uniq_frac, sparse_rows = 1.0, 0
     if sparse:
-        t_prep = time.perf_counter()
         raws = _prep_sparse(all_b, table, warmup + steps)
-        prep_ms = (time.perf_counter() - t_prep) / (warmup + steps) * 1000
         sparse_rows = int(raws[0]["emb_valid"].sum())
-        staged = [{k: jnp.asarray(v) for k, v in raw.items()} for raw in raws]
     else:
-        prep_ms, sparse_rows = 0.0, 0
-        staged = [{k: jnp.asarray(v[i]) for k, v in all_b.items()}
-                  for i in range(warmup + steps)]
-    jax.block_until_ready([staged[-1]["hist_idx"]])
+        raws = [{k: v[i] for k, v in all_b.items()}
+                for i in range(warmup + steps)]
+    if dedup:
+        from ebnerd_tpu.training.dedup import pad_dedup_to, prep_dedup_batch
+
+        slots = bs * (HISTORY + NPRATIO + 1)
+        preps = [prep_dedup_batch(r, min_bucket=512) for r in raws]
+        uniq_frac = float(np.mean([p["n_uniq"] for p in preps]) / slots)
+        bucket = max(p["art_uniq"].shape[0] for p in preps)
+        raws = []
+        for p in preps:
+            p.pop("n_uniq")
+            raws.append(pad_dedup_to(p, bucket))
+    prep_ms = (time.perf_counter() - t_prep) / (warmup + steps) * 1000
+    staged = [{k: jnp.asarray(v) for k, v in raw.items()} for raw in raws]
+    probe = "hist_slot" if dedup else "hist_idx"
+    jax.block_until_ready([staged[-1][probe]])
 
     # pre-split all dropout keys: a per-step host-side split is a tiny
     # device dispatch each (expensive over a remote-TPU tunnel)
@@ -207,8 +257,17 @@ def main() -> None:
         ref = json.loads(baseline_path.read_text()).get("reference_impressions_per_sec")
         if ref:
             vs = ips / float(ref)
-    flops = model_flops_per_impression(hp.head_num * hp.head_dim,
-                                       hp.attention_hidden_dim)
+    d, a = hp.head_num * hp.head_dim, hp.attention_hidden_dim
+    k = NPRATIO + 1
+    if dedup:
+        # MFU counts the FLOPs the deduped step actually needs: each
+        # unique article encodes once (pad rows excluded — they are
+        # wasted, not useful, work)
+        slots = bs * (HISTORY + k)
+        fwd = (uniq_frac * slots / bs) * _article_flops(d, a) + _user_flops(d, a) + k * d * 2
+        flops = 3.0 * fwd
+    else:
+        flops = model_flops_per_impression(d, a)
     mfu = ips * flops / (PEAK_TFLOPS * 1e12) * 100.0
     # analytic as-shipped reference-on-A100 estimate: 3,500 imp/s midpoint
     # (derivation in BASELINE.md "Analytic GPU estimate"); vs_baseline
@@ -222,10 +281,14 @@ def main() -> None:
         "mfu_pct": round(mfu, 2),
         "step_ms": round(dt / steps * 1000, 2),
         "config": (f"bs{bs} bf16 fused={int(fused)} sparse={int(sparse)} "
-                   f"tok={token_dist} steps{steps}"),
-        # host dedup cost per step (rides the prefetch thread in
-        # production) and the touched-row count, for the sparse path
-        "sparse_prep_ms": round(prep_ms, 2),
+                   f"dedup={int(dedup)} tok={token_dist} art={art_dist} "
+                   f"steps{steps}"),
+        # mean unique-article fraction per batch (1.0 = no dedup): the
+        # duplicate-encode share the dedup path removes is 1 - this
+        "dedup_uniq_frac": round(uniq_frac, 4),
+        # host prep cost per step (dedup and/or sparse vocab dedup; rides
+        # the prefetch thread in production) + sparse touched-row count
+        "prep_ms": round(prep_ms, 2),
         "sparse_rows": sparse_rows,
     }))
 

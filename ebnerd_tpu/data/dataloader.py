@@ -144,13 +144,20 @@ class NewsrecFeed:
     def n_rows(self) -> int:
         return self.hist_idx.shape[0]
 
-    def epoch(self, shuffle: bool = True) -> Iterator[dict[str, np.ndarray]]:
-        """Yield one epoch of batches; each call reshuffles deterministically."""
+    def epoch(self, shuffle: bool = True,
+              epoch: Optional[int] = None) -> Iterator[dict[str, np.ndarray]]:
+        """Yield one epoch of batches; each call reshuffles
+        deterministically. Passing ``epoch`` pins the shuffle order to
+        that epoch index without advancing the internal counter — the
+        resume path replays the exact order an uninterrupted run would
+        have used (training/trainer.py fit(ckpt_dir=..., resume=True))."""
         n = self.n_rows
+        if epoch is None:
+            epoch = self._epoch
+            self._epoch += 1
         order = np.arange(n)
         if shuffle:
-            order = np.random.default_rng(self.seed + self._epoch).permutation(n)
-        self._epoch += 1
+            order = np.random.default_rng(self.seed + epoch).permutation(n)
         bs = self.batch_size
         stop = (n // bs) * bs if self.drop_remainder else n
         for start in range(0, stop, bs):

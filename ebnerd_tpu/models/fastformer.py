@@ -192,18 +192,28 @@ class Fastformer(nn.Module):
         return self.token_pool(x, mask=token_mask)
 
     def __call__(self, batch: dict, train: bool = False) -> jnp.ndarray:
-        hist_tokens = batch["hist_tokens"]
-        cand_tokens = batch["cand_tokens"]
-        b, h = hist_tokens.shape[:2]
-        k = cand_tokens.shape[1]
-        # one encoder invocation over history+candidates (one large matmul
-        # per layer instead of two dispatches)
-        both = jnp.concatenate(
-            [hist_tokens.reshape(b * h, -1), cand_tokens.reshape(b * k, -1)])
-        vecs = self.encode_articles(both, train)
-        hist_vecs = vecs[: b * h].reshape(b, h, -1)
-        cand_vecs = vecs[b * h :].reshape(b, k, -1)
-        hist_mask = (hist_tokens != 0).any(-1).astype(self.dtype)
+        if "uniq_tokens" in batch:
+            # deduped batch (training/dedup.py): encode each unique
+            # article once, gather vectors (and the token-presence mask)
+            # back to history/candidate slots
+            art = self.encode_articles(batch["uniq_tokens"], train)
+            hist_vecs = art[batch["hist_slot"]]
+            cand_vecs = art[batch["cand_slot"]]
+            art_mask = (batch["uniq_tokens"] != 0).any(-1)
+            hist_mask = art_mask[batch["hist_slot"]].astype(self.dtype)
+        else:
+            hist_tokens = batch["hist_tokens"]
+            cand_tokens = batch["cand_tokens"]
+            b, h = hist_tokens.shape[:2]
+            k = cand_tokens.shape[1]
+            # one encoder invocation over history+candidates (one large
+            # matmul per layer instead of two dispatches)
+            both = jnp.concatenate(
+                [hist_tokens.reshape(b * h, -1), cand_tokens.reshape(b * k, -1)])
+            vecs = self.encode_articles(both, train)
+            hist_vecs = vecs[: b * h].reshape(b, h, -1)
+            cand_vecs = vecs[b * h :].reshape(b, k, -1)
+            hist_mask = (hist_tokens != 0).any(-1).astype(self.dtype)
         user = self.user_pool(hist_vecs, mask=hist_mask)        # [B, D]
         concat = jnp.concatenate(
             [jnp.broadcast_to(user[:, None], cand_vecs.shape), cand_vecs], axis=-1

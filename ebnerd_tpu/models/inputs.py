@@ -32,9 +32,21 @@ def _user(raw: dict, out: dict) -> dict:
     return out
 
 
+def _slots(raw: dict, out: dict) -> dict:
+    out["hist_slot"] = raw["hist_slot"]
+    out["cand_slot"] = raw["cand_slot"]
+    return _user(raw, out)
+
+
 def token_batch(tables: dict, raw: dict) -> dict:
-    """NRMS / LSTUR / NPA: title tokens only (+ optional user id)."""
+    """NRMS / LSTUR / NPA / Fastformer: title tokens (+ optional user id).
+
+    A deduped batch (training/dedup.py: ``art_uniq`` + slot indices)
+    gathers each unique article's tokens once; the model encodes [C]
+    articles and scatters vectors back through the slot gathers."""
     title = tables["title"]
+    if "art_uniq" in raw:
+        return _slots(raw, {"uniq_tokens": title[raw["art_uniq"]]})
     return _user(raw, {
         "hist_tokens": title[raw["hist_idx"]],
         "cand_tokens": title[raw["cand_idx"]],
@@ -44,6 +56,8 @@ def token_batch(tables: dict, raw: dict) -> dict:
 def docvec_batch(tables: dict, raw: dict) -> dict:
     """NRMSDocVec: frozen document-embedding vectors."""
     dv = tables["docvec"]
+    if "art_uniq" in raw:
+        return _slots(raw, {"uniq_vecs": dv[raw["art_uniq"]]})
     return _user(raw, {
         "hist_vecs": dv[raw["hist_idx"]],
         "cand_vecs": dv[raw["cand_idx"]],
@@ -54,6 +68,14 @@ def naml_batch(tables: dict, raw: dict) -> dict:
     """NAML: title/body tokens + (sub)category ids, all gathered from the
     same row-index space (the reference packs these four into one int
     vector, naml.py:101-126; here they stay separate device gathers)."""
+    if "art_uniq" in raw:
+        u = raw["art_uniq"]
+        return _slots(raw, {
+            "uniq_tokens": tables["title"][u],
+            "uniq_body": tables["body"][u],
+            "uniq_cat": tables["cat"][u],
+            "uniq_subcat": tables["subcat"][u],
+        })
     out = {
         "hist_tokens": tables["title"][raw["hist_idx"]],
         "cand_tokens": tables["title"][raw["cand_idx"]],

@@ -82,6 +82,15 @@ def _dot_scores(news: jnp.ndarray, user: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("bkd,bd->bk", news, user)
 
 
+def _dedup_gather(art_vecs: jnp.ndarray, batch: dict):
+    """Deduped-batch path (training/dedup.py): [C, D] unique-article
+    vectors -> ([B, H, D], [B, K, D]) via slot gathers. The backward of
+    each gather is a segment-sum of slot cotangents into [C, D], so
+    duplicate articles are encoded (and back-propagated through the
+    encoder) exactly once per step."""
+    return art_vecs[batch["hist_slot"]], art_vecs[batch["cand_slot"]]
+
+
 def _encode_both(encode, hist: jnp.ndarray, cand: jnp.ndarray):
     """Run ONE encoder invocation over history and candidate articles
     concatenated along the article axis, then split. Same math as two
@@ -286,9 +295,13 @@ class NRMS(nn.Module):
         return self.user_pool(y)
 
     def __call__(self, batch: dict, train: bool = False) -> jnp.ndarray:
-        hist_vecs, cand_vecs = _encode_both(
-            lambda x: self.encode_news(x, train),
-            batch["hist_tokens"], batch["cand_tokens"])
+        if "uniq_tokens" in batch:
+            art = self.encode_news(batch["uniq_tokens"], train)
+            hist_vecs, cand_vecs = _dedup_gather(art, batch)
+        else:
+            hist_vecs, cand_vecs = _encode_both(
+                lambda x: self.encode_news(x, train),
+                batch["hist_tokens"], batch["cand_tokens"])
         user = self.encode_user(hist_vecs, train)
         return _dot_scores(cand_vecs, user)
 
@@ -327,9 +340,13 @@ class NRMSDocVec(nn.Module):
         return self.user_pool(y)
 
     def __call__(self, batch: dict, train: bool = False) -> jnp.ndarray:
-        hist_vecs, cand_vecs = _encode_both(
-            lambda x: self.encode_news(x, train),
-            batch["hist_vecs"], batch["cand_vecs"])
+        if "uniq_vecs" in batch:
+            art = self.encode_news(batch["uniq_vecs"], train)
+            hist_vecs, cand_vecs = _dedup_gather(art, batch)
+        else:
+            hist_vecs, cand_vecs = _encode_both(
+                lambda x: self.encode_news(x, train),
+                batch["hist_vecs"], batch["cand_vecs"])
         user = self.encode_user(hist_vecs, train)
         return _dot_scores(cand_vecs, user)
 
@@ -394,10 +411,16 @@ class LSTUR(nn.Module):
         raise ValueError(f"unknown LSTUR type: {hp.type}")
 
     def __call__(self, batch: dict, train: bool = False) -> jnp.ndarray:
-        hist_vecs, cand_vecs = _encode_both(
-            lambda x: self.encode_news(x, train),
-            batch["hist_tokens"], batch["cand_tokens"])
-        hist_mask = (batch["hist_tokens"] != 0).any(-1).astype(self.dtype)
+        if "uniq_tokens" in batch:
+            art = self.encode_news(batch["uniq_tokens"], train)
+            hist_vecs, cand_vecs = _dedup_gather(art, batch)
+            art_mask = (batch["uniq_tokens"] != 0).any(-1)
+            hist_mask = art_mask[batch["hist_slot"]].astype(self.dtype)
+        else:
+            hist_vecs, cand_vecs = _encode_both(
+                lambda x: self.encode_news(x, train),
+                batch["hist_tokens"], batch["cand_tokens"])
+            hist_mask = (batch["hist_tokens"] != 0).any(-1).astype(self.dtype)
         user = self.encode_user(hist_vecs, hist_mask, batch["user_id"], train)
         return _dot_scores(cand_vecs, user)
 
@@ -514,6 +537,12 @@ class NAML(nn.Module):
         return self.view_pool(views)
 
     def __call__(self, batch: dict, train: bool = False) -> jnp.ndarray:
+        if "uniq_tokens" in batch:
+            art = self.encode_news(batch["uniq_tokens"], batch["uniq_body"],
+                                   batch["uniq_cat"], batch["uniq_subcat"], train)
+            hist_vecs, cand_vecs = _dedup_gather(art, batch)
+            user = self.user_pool(hist_vecs)
+            return _dot_scores(cand_vecs, user)
         # one encoder invocation over history+candidates for all four views
         (b, h) = batch["hist_tokens"].shape[:2]
         k = batch["cand_tokens"].shape[1]

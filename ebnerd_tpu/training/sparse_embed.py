@@ -56,10 +56,11 @@ __all__ = ["SparseEmbedState", "prep_sparse_batch", "rowwise_adam",
            "TOKEN_KEYS_BY_TABLE", "bucket_size"]
 
 # table name -> batch keys (builder outputs) whose values are token ids
-# embedded through the shared word-embedding table (models/inputs.py)
+# embedded through the shared word-embedding table (models/inputs.py);
+# the uniq_* keys are the article-deduped variants (training/dedup.py)
 TOKEN_KEYS_BY_TABLE = {
-    "title": ("hist_tokens", "cand_tokens"),
-    "body": ("hist_body", "cand_body"),
+    "title": ("hist_tokens", "cand_tokens", "uniq_tokens"),
+    "body": ("hist_body", "cand_body", "uniq_body"),
 }
 
 

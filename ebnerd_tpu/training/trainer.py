@@ -34,6 +34,7 @@ from ..evaluation.ranking import per_impression_auc
 from ..models.inputs import BatchBuilder
 from ..parallel.mesh import data_sharding, put_replicated, replicated, shard_batch
 from ..serving import article_validity, encode_article_rows, model_kind, two_tower_logits
+from .dedup import pad_dedup_to, prep_dedup_batch
 from .losses import l2_penalty, loss_fn_for
 from .sparse_embed import (
     TOKEN_KEYS_BY_TABLE,
@@ -117,6 +118,18 @@ class TrainerConfig:
     # NOT covered here makes sparse mode raise: its vocab ids would
     # silently remap to slot 0 and mis-route gradients.
     sparse_token_tables: Optional[dict] = None
+    # train-time unique-article dedup (training/dedup.py): the prefetch
+    # thread dedups each batch's article rows; the model encodes every
+    # unique article ONCE and gathers vectors back to slots — removing
+    # the duplicate-article encoder FLOPs the per-slot path re-spends
+    # (>=37% at bench shapes, far more at real article-popularity skew).
+    # "auto" = on whenever the model's news encoder is user-independent
+    # (serving.model_kind — all families but NPA); True forces (errors on
+    # NPA), False always encodes per slot. Dropout note: dedup draws ONE
+    # stochastic encode per unique article per step instead of the
+    # reference's independent mask per slot (training/dedup.py).
+    dedup_articles: Any = "auto"
+    dedup_min_bucket: int = 512
 
 
 class Trainer:
@@ -169,6 +182,13 @@ class Trainer:
             self.tables = {k: jnp.asarray(v) for k, v in tables.items()}
         if config.optimizer != "adam":
             raise ValueError(f"this optimizer not defined {config.optimizer}")
+        dedup_ok = model_kind(model) is not None
+        if config.dedup_articles is True and not dedup_ok:
+            raise ValueError(
+                f"{type(model).__name__} has a user-dependent news encoder; "
+                "article dedup cannot share encodes across slots")
+        self._dedup = (dedup_ok if config.dedup_articles == "auto"
+                       else bool(config.dedup_articles))
         self._sparse = bool(config.sparse_embedding)
         if self._sparse:
             if config.accumulation_steps > 1 or config.scan_steps > 1:
@@ -237,6 +257,10 @@ class Trainer:
 
     def init_state(self, example_batch: dict[str, np.ndarray]) -> TrainState:
         raw = {k: np.asarray(v) for k, v in example_batch.items()}
+        if self._dedup and "hist_idx" in raw:
+            # init traces the same (deduped) graph the train step runs
+            raw = prep_dedup_batch(raw, self.config.dedup_min_bucket)
+            raw.pop("n_uniq", None)
         if self.mesh is not None:
             raw = shard_batch(raw, self.mesh)
         batch = self.builder(self.tables, raw)
@@ -405,7 +429,7 @@ class Trainer:
     # -- loops ------------------------------------------------------------
 
     def _put(self, raw: dict) -> dict:
-        raw = {k: v for k, v in raw.items() if k not in ("n_valid", "rows")}
+        raw = {k: v for k, v in raw.items() if k not in ("n_valid", "rows", "n_uniq")}
         if self.mesh is not None:
             # dedup side-tables are whole-batch values, not per-row data:
             # replicate them instead of splitting over the 'data' axis
@@ -420,7 +444,7 @@ class Trainer:
         """Stack N host batches on a new leading axis and ship to device
         ([N, B, ...]; batch axis 1 sharded over 'data')."""
         stacked = {k: np.stack([np.asarray(r[k]) for r in raws])
-                   for k in raws[0] if k not in ("n_valid", "rows")}
+                   for k in raws[0] if k not in ("n_valid", "rows", "n_uniq")}
         if self.mesh is None:
             return stacked
         from jax.sharding import NamedSharding
@@ -479,14 +503,23 @@ class Trainer:
                 except queue.Empty:
                     break
 
-    def _run_epoch(self, train_feed, steps_per_epoch) -> list[jnp.ndarray]:
+    def _run_epoch(self, train_feed, steps_per_epoch, epoch: Optional[int] = None,
+                   scalar_logger=None, log_every: Optional[int] = None) -> list[jnp.ndarray]:
         """One epoch of train steps with prefetch; groups of
-        ``config.scan_steps`` batches dispatch as one lax.scan."""
+        ``config.scan_steps`` batches dispatch as one lax.scan.
+        ``epoch`` pins the feed's shuffle order (resume support);
+        ``scalar_logger`` + ``log_every`` emit a train/loss_step scalar
+        every N optimizer steps (the reference logs per-batch loss via
+        TensorBoard, ebnerd_nrms.py:212-215 / fastformer
+        dataloader.py:191-196; logging forces one device sync per N
+        steps, so keep N large enough to stay off the hot path)."""
         import itertools
 
-        it = train_feed.epoch()
+        it = train_feed.epoch() if epoch is None else train_feed.epoch(epoch=epoch)
         if steps_per_epoch is not None:
             it = itertools.islice(it, steps_per_epoch)
+        step0 = int(self.state.step) if (scalar_logger and log_every) else 0
+        done_steps = 0
         n_scan = self.config.scan_steps
         use_scan = n_scan > 1 and jax.process_count() == 1
 
@@ -494,16 +527,23 @@ class Trainer:
             group: list[dict] = []
             for raw in it:
                 if self._sparse:
-                    # host dedup rides this prefetch-thread generator,
-                    # overlapped with the running device step
+                    # host vocab-row dedup rides this prefetch-thread
+                    # generator, overlapped with the running device step
                     raw = prep_sparse_batch(
                         raw, self._host_tables, self._sparse_tables,
                         self._vocab_size, self.config.sparse_min_bucket)
+                if self._dedup:
+                    # article dedup likewise (after sparse prep, which
+                    # reads hist_idx/cand_idx this replaces with slots)
+                    raw = prep_dedup_batch(raw, self.config.dedup_min_bucket)
                 if not use_scan:
                     yield ("step", self._put(raw))
                     continue
                 group.append(raw)
                 if len(group) == n_scan:
+                    if self._dedup:  # align the group to one bucket
+                        m = max(r["art_uniq"].shape[0] for r in group)
+                        group = [pad_dedup_to(r, m) for r in group]
                     yield ("scan", self._put_stacked(group))
                     group = []
             for raw in group:  # remainder (< scan_steps): per-step
@@ -515,9 +555,15 @@ class Trainer:
             if kind == "scan":
                 self.state, ls = self._train_steps_scan(self.state, payload, step_rng)
                 losses.append(ls)
+                done_steps += int(ls.shape[0])
             else:
                 self.state, loss = self._train_step(self.state, payload, step_rng)
                 losses.append(loss[None])
+                done_steps += 1
+            if (scalar_logger is not None and log_every
+                    and done_steps % log_every == 0):
+                scalar_logger.log("train/loss_step",
+                                  float(losses[-1][-1]), step=step0 + done_steps)
         return losses
 
     def fit(
@@ -528,10 +574,27 @@ class Trainer:
         epochs: int = 1,
         steps_per_epoch: Optional[int] = None,
         scalar_logger=None,
+        ckpt_dir=None,
+        resume: bool = False,
+        log_every_steps: int = 50,
     ) -> list[dict[str, float]]:
         """Epoch loop with val-AUC monitoring, best-weights restore, early
         stopping, and LR plateau reduction (reference callback behavior,
-        ebnerd_nrms.py:212-257)."""
+        ebnerd_nrms.py:212-257).
+
+        ``ckpt_dir`` persists the FULL TrainState to disk each epoch plus
+        a ``best`` checkpoint at every val-metric improvement (the
+        reference's ModelCheckpoint(save_best_only) writes best weights
+        each epoch, ebnerd_nrms.py:222-229, and reloads them before test,
+        :259-260 — here optimizer/moment/step state rides along too).
+        ``resume=True`` restores the latest epoch checkpoint AND the
+        callback state (best metric, patience counters, LR, history, RNG
+        stream), so a killed run continues exactly where an uninterrupted
+        run would be: same shuffle order, same dropout stream, same
+        early-stop/plateau decisions."""
+        import json as _json
+        from pathlib import Path as _Path
+
         cfg = self.config
         if self.state is None:
             first = next(iter(train_feed.epoch(shuffle=False)))
@@ -548,9 +611,48 @@ class Trainer:
         best_emb = snapshot(self.state.emb) if self.state.emb is not None else None
         es_wait = lr_wait = 0
         lr = cfg.learning_rate
+        start_epoch = 0
+        mgr = meta_path = None
+        if ckpt_dir is not None:
+            from .checkpoint import CheckpointManager
+
+            mgr = CheckpointManager(ckpt_dir)
+            meta_path = _Path(ckpt_dir) / "meta.json"
+            if resume and meta_path.exists():
+                # restore the epoch META names (not the newest on disk):
+                # a kill between save_step and the meta write leaves a
+                # newer state checkpoint with stale callback metadata —
+                # the previous (state, meta) pair is the consistent one
+                meta = _json.loads(meta_path.read_text())
+                from .checkpoint import restore_checkpoint
+
+                restored = restore_checkpoint(self.state, ckpt_dir,
+                                              step=int(meta["epoch"]))
+                if restored is not None:
+                    self.state = restored
+                    self._art_cache = None
+                    start_epoch = int(meta["epoch"]) + 1
+                    best_metric = float(meta["best_metric"])
+                    es_wait, lr_wait = int(meta["es_wait"]), int(meta["lr_wait"])
+                    lr = float(meta["lr"])
+                    self.history = list(meta["history"])
+                    _hyperparams(self.state.opt_state)["learning_rate"] = jnp.asarray(lr)
+                    self._rng = jax.random.wrap_key_data(
+                        jnp.asarray(np.asarray(meta["rng"], np.uint32)),
+                        impl=cfg.rng_impl)
+                    if np.isfinite(best_metric) and (_Path(ckpt_dir) / "best").exists():
+                        b = mgr.restore_best(self.state)
+                        best_params = snapshot(b.params)
+                        best_stats = snapshot(b.batch_stats)
+                        best_emb = snapshot(b.emb) if b.emb is not None else None
+                    self.log(f"[trainer] resumed from epoch {meta['epoch']} "
+                             f"(next: {start_epoch}, best {best_metric:.5f})")
+
         stop = False
-        for epoch in range(epochs):
-            losses = self._run_epoch(train_feed, steps_per_epoch)
+        for epoch in range(start_epoch, epochs):
+            losses = self._run_epoch(train_feed, steps_per_epoch, epoch=epoch,
+                                     scalar_logger=scalar_logger,
+                                     log_every=log_every_steps)
             mean_loss = float(jnp.mean(jnp.concatenate(losses))) if losses else float("nan")
             record = {"epoch": epoch, "loss": mean_loss, "lr": lr}
             if val_feed is not None and val_labels is not None:
@@ -571,6 +673,8 @@ class Trainer:
                     best_stats = snapshot(self.state.batch_stats)
                     if self.state.emb is not None:
                         best_emb = snapshot(self.state.emb)
+                    if mgr is not None:  # ModelCheckpoint(save_best_only)
+                        mgr.save_best(self.state)
                 else:
                     es_wait += 1
                     lr_wait += 1
@@ -582,6 +686,20 @@ class Trainer:
                     if cfg.early_stopping_patience is not None and es_wait >= cfg.early_stopping_patience:
                         stop = True
             self.history.append(record)
+            if mgr is not None:
+                # full-state epoch checkpoint + callback-state metadata;
+                # meta written AFTER the state save so a kill between the
+                # two resumes from the previous consistent pair
+                mgr.save_step(self.state, epoch)
+                meta_path.write_text(_json.dumps({
+                    "epoch": epoch,
+                    "best_metric": float(best_metric),
+                    "es_wait": es_wait,
+                    "lr_wait": lr_wait,
+                    "lr": lr,
+                    "history": self.history,
+                    "rng": np.asarray(jax.random.key_data(self._rng)).tolist(),
+                }))
             if scalar_logger is not None:
                 scalar_logger.log_dict(
                     {f"train/{k}" if k == "loss" else f"val/{k}" if k.startswith("val") else f"train/{k}": v

@@ -95,6 +95,19 @@ def get_args(argv=None):
     p.add_argument("--no_two_tower_eval", action="store_true",
                    help="score val/test with the full forward pass instead "
                         "of the precomputed article index (serving.py)")
+    p.add_argument("--no_dedup", action="store_true",
+                   help="disable train-time unique-article dedup encoding "
+                        "(training/dedup.py; default on for all models "
+                        "with user-independent news encoders)")
+    p.add_argument("--ckpt_dir", type=str, default=None,
+                   help="persist full TrainState per epoch + best weights "
+                        "here (reference ModelCheckpoint parity; default: "
+                        "<out_dir>/checkpoints)")
+    p.add_argument("--no_ckpt", action="store_true",
+                   help="disable disk checkpointing entirely")
+    p.add_argument("--resume", action="store_true",
+                   help="resume an interrupted run from --ckpt_dir "
+                        "(restores TrainState, callback state, RNG stream)")
     # model dims
     p.add_argument("--head_num", type=int, default=None)
     p.add_argument("--head_dim", type=int, default=None)
@@ -272,14 +285,17 @@ def main(argv=None):
         TrainerConfig(learning_rate=args.learning_rate, loss=args.loss,
                       l2_regularization=l2, seed=args.seed,
                       sparse_embedding=args.sparse_embedding,
+                      dedup_articles=False if args.no_dedup else "auto",
                       two_tower_eval=False if args.no_two_tower_eval else "auto"),
     )
     (out_dir / "args.json").write_text(json.dumps(vars(args), indent=2, default=str))
 
+    ckpt_dir = None if args.no_ckpt else (args.ckpt_dir or str(out_dir / "checkpoints"))
     t0 = time.perf_counter()
     with ScalarLogger(out_dir / "logs") as logger:
         trainer.fit(train_feed, val_feed, df_val[c.DEFAULT_LABELS_COL],
-                    epochs=args.epochs, scalar_logger=logger)
+                    epochs=args.epochs, scalar_logger=logger,
+                    ckpt_dir=ckpt_dir, resume=args.resume)
     train_time = time.perf_counter() - t0
 
     # -- final eval ----------------------------------------------------------
