@@ -46,8 +46,11 @@ EPOCHS, BATCH, LR = 3, 64, 1e-3
 TOPIC_CLICK_P = 0.8
 
 
-def make_signal_dataset(seed: int):
-    """Token matrices + labels with a learnable topic preference signal."""
+def make_signal_dataset(seed: int, return_indices: bool = False):
+    """Token matrices + labels with a learnable topic preference signal.
+    ``return_indices`` additionally exposes the article-index view of the
+    train split + the article token table (the dedup parity run trains
+    through the index/dedup path, training/dedup.py)."""
     rng = np.random.default_rng(seed)
     art_topic = rng.integers(0, N_TOPICS, N_ARTICLES)
     # title tokens: 2/3 from the article's topic block, 1/3 common words
@@ -80,10 +83,14 @@ def make_signal_dataset(seed: int):
             order = rng.permutation(K)
             cand[i] = np.concatenate([neg, [pos]])[order]
             labels[i, np.flatnonzero(order == NPRATIO)[0]] = 1.0
-        return tokens[his], tokens[cand], labels
+        return tokens[his], tokens[cand], labels, his, cand
 
-    train = impressions(N_TRAIN)
-    val = impressions(N_VAL)
+    t_his, t_cand, t_y, t_hidx, t_cidx = impressions(N_TRAIN)
+    v_his, v_cand, v_y, _, _ = impressions(N_VAL)
+    train = (t_his, t_cand, t_y)
+    val = (v_his, v_cand, v_y)
+    if return_indices:
+        return train, val, tokens, (t_hidx, t_cidx, t_y)
     return train, val
 
 
@@ -305,6 +312,70 @@ def train_ours(train, val, w2v, seed: int) -> list[float]:
     return aucs
 
 
+def train_ours_dedup(train_idx, tokens_table, val, w2v, seed: int) -> list[float]:
+    """Ours through the article-index + unique-article-dedup path
+    (training/dedup.py): the model encodes each unique article ONCE per
+    step, so dropout draws one stochastic encode per unique article
+    instead of the reference's independent mask per slot — THE semantic
+    deviation this run pins (same data/signal as train_ours)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from ebnerd_tpu.models.config import HParamsNRMS
+    from ebnerd_tpu.models.inputs import token_batch
+    from ebnerd_tpu.models.newsrec import NRMS, embedding_initializer
+    from ebnerd_tpu.training.dedup import prep_dedup_batch
+    from ebnerd_tpu.training.trainer import Trainer, TrainerConfig
+
+    hidx, cidx, y = train_idx
+    vhis, vcand, vy = val
+    hp = HParamsNRMS(title_size=T, history_size=H, head_num=HEADS,
+                     head_dim=HEAD_DIM, attention_hidden_dim=ATT)
+    model = NRMS(hp, vocab_size=VOCAB, word_emb_dim=EMB,
+                 word_emb_init=embedding_initializer(w2v))
+    trainer = Trainer(model, {"title": tokens_table.astype(np.int32)},
+                      token_batch,
+                      TrainerConfig(learning_rate=LR, seed=seed,
+                                    dedup_articles=True, dedup_min_bucket=64),
+                      log_fn=lambda s: None)
+    trainer.init_state({
+        "hist_idx": hidx[:BATCH].astype(np.int32),
+        "cand_idx": cidx[:BATCH].astype(np.int32),
+        "labels": y[:BATCH],
+    })
+
+    @jax.jit
+    def score(state, vh, vc):
+        logits = model.apply({"params": state.params},
+                             {"hist_tokens": vh, "cand_tokens": vc}, train=False)
+        return jax.nn.sigmoid(logits)
+
+    rng = np.random.default_rng(seed)
+    key = jax.random.key(seed)
+    n_total = hidx.shape[0]
+    aucs = []
+    for _ in range(EPOCHS):
+        order = rng.permutation(n_total)
+        for s in range(0, n_total - BATCH + 1, BATCH):
+            idx = order[s:s + BATCH]
+            raw = prep_dedup_batch({
+                "hist_idx": hidx[idx].astype(np.int32),
+                "cand_idx": cidx[idx].astype(np.int32),
+                "labels": y[idx]}, min_bucket=64)
+            raw.pop("n_uniq")
+            key, sub = jax.random.split(key)
+            trainer.state, _ = trainer._train_step(trainer.state, raw, sub)
+        probs = np.concatenate([
+            np.asarray(score(trainer.state,
+                             jnp.asarray(vhis[s:s + 500].astype(np.int32)),
+                             jnp.asarray(vcand[s:s + 500].astype(np.int32))))
+            for s in range(0, vhis.shape[0], 500)])
+        aucs.append(auc_from_probs(probs, vy))
+    return aucs
+
+
 def _verdict(ref, ours_a, ours_b):
     spread = abs(ours_a[-1] - ours_b[-1])
     gap = abs(ref[-1] - ours_a[-1])
@@ -331,7 +402,7 @@ def main() -> None:
     if out.exists():  # preserve entries not rerun this invocation
         try:
             prev = json.loads(out.read_text())
-            for k in ("nrms", "nrms_docvec"):
+            for k in ("nrms", "nrms_docvec", "nrms_dedup"):
                 if k in prev:
                     result[k] = prev[k]
         except Exception:  # noqa: BLE001
@@ -355,6 +426,35 @@ def main() -> None:
             **_verdict(ref, ours_a, ours_b),
         }
 
+    if only in ("all", "nrms_dedup"):
+        train, val, tokens_table, train_idx = make_signal_dataset(
+            seed=0, return_indices=True)
+        rng = np.random.default_rng(1)
+        w2v = (rng.standard_normal((VOCAB, EMB)) * 0.1).astype(np.float32)
+        dd_a = train_ours_dedup(train_idx, tokens_table, val, w2v, seed=42)
+        dd_b = train_ours_dedup(train_idx, tokens_table, val, w2v, seed=7)
+        # reference curve: reuse the nrms section's if present (identical
+        # dataset + w2v by construction), else train it here
+        if "nrms" in result:
+            ref = [float(x) for x in result["nrms"]["reference_val_auc"]]
+        else:
+            ref = train_reference(train, val, w2v, seed=42)
+        result["nrms_dedup"] = {
+            "config": {
+                "model": "NRMS via article-index + unique-article dedup "
+                         "(training/dedup.py; one stochastic encode per "
+                         "unique article per step vs the reference's "
+                         "independent dropout mask per slot)",
+                "vocab": VOCAB, "emb": EMB, "history": H, "title": T,
+                "npratio": NPRATIO, "heads": f"{HEADS}x{HEAD_DIM}",
+                "epochs": EPOCHS, "batch": BATCH, "lr": LR,
+                "dropout": 0.2,
+                "n_train": N_TRAIN, "n_val": N_VAL,
+                "data": "same topic-signal synthetic split as 'nrms'",
+            },
+            **_verdict(ref, dd_a, dd_b),
+        }
+
     if only in ("all", "nrms_docvec"):
         dtrain, dval = make_docvec_dataset(seed=0)
         d_a = train_ours_docvec(dtrain, dval, seed=42)
@@ -374,7 +474,8 @@ def main() -> None:
         }
 
     result["wall_seconds"] = round(time.time() - t0, 1)
-    all_pass = all(result[k]["pass"] for k in ("nrms", "nrms_docvec")
+    all_pass = all(result[k]["pass"]
+                   for k in ("nrms", "nrms_docvec", "nrms_dedup")
                    if k in result)
     out.write_text(json.dumps(result, indent=2) + "\n")
     print(json.dumps(result, indent=2))

@@ -37,6 +37,21 @@ VOCAB, EMB = 250_002, 1_024
 N_ART = 25_001
 N_USERS = 50_000
 DTYPE = jnp.bfloat16
+# r4: unique-article dedup (training/dedup.py) + Zipf article popularity,
+# both defaults matching bench.py; PM_DEDUP=0 / PM_ART_DIST=uniform for
+# the per-slot baseline. NPA always runs per-slot (user-dependent).
+PM_DEDUP = os.environ.get("PM_DEDUP", "1") != "0"
+PM_ART = os.environ.get("PM_ART_DIST", "zipf")
+
+
+def _draw(r, shape):
+    if PM_ART == "uniform":
+        return r.integers(0, N_ART, shape).astype(np.int32)
+    m = int(np.prod(shape))
+    ranks = r.zipf(1.07, size=3 * m)
+    ranks = ranks[ranks <= N_ART][:m] - 1
+    perm = r.permutation(N_ART).astype(np.int32)
+    return perm[ranks].reshape(shape).astype(np.int32)
 
 
 def timed(fn, *args):
@@ -95,12 +110,19 @@ def main():
         model = build(name)
         builder = builder_for(name if name != "fastformer" else "fastformer")
         raw = {
-            "hist_idx": jnp.asarray(r.integers(0, N_ART, (BS, H)).astype(np.int32)),
-            "cand_idx": jnp.asarray(r.integers(0, N_ART, (BS, K)).astype(np.int32)),
+            "hist_idx": _draw(r, (BS, H)),
+            "cand_idx": _draw(r, (BS, K)),
         }
         if name in ("lstur", "npa"):
-            raw["user_idx"] = jnp.asarray(
-                r.integers(0, N_USERS, BS).astype(np.int32))
+            raw["user_idx"] = r.integers(0, N_USERS, BS).astype(np.int32)
+        note = ""
+        if PM_DEDUP and name != "npa":
+            from ebnerd_tpu.training.dedup import prep_dedup_batch
+
+            raw = prep_dedup_batch(raw, min_bucket=512)
+            note = (f" dedup C={raw['art_uniq'].shape[0]} "
+                    f"uniq={raw.pop('n_uniq')}")
+        raw = {k: jnp.asarray(v) for k, v in raw.items()}
         labels = jnp.zeros((BS, K)).at[:, 0].set(1.0)
         batch = builder(tables, raw)
         variables = model.init(jax.random.key(0), batch, train=False)
@@ -122,7 +144,7 @@ def main():
 
         ms = timed(step, params, opt_state, raw)
         print(f"{name:12s} full train step {ms:8.2f} ms/step "
-              f"{BS / ms * 1000:9.0f} imp/s", flush=True)
+              f"{BS / ms * 1000:9.0f} imp/s{note}", flush=True)
       except Exception as e:  # noqa: BLE001 - one model must not kill the sweep
         print(f"{name:12s} FAILED: {type(e).__name__}: {str(e)[:140]}",
               flush=True)

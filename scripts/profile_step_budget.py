@@ -42,6 +42,19 @@ N_ART, T, H, K = 25_000, 30, 20, 5
 BS = int(os.environ.get("PSB_BS", "512"))
 STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 20
 WARMUP = 3
+# r4 defaults matching bench.py: unique-article dedup + Zipf popularity
+PSB_DEDUP = os.environ.get("PSB_DEDUP", "1") != "0"
+PSB_ART = os.environ.get("PSB_ART_DIST", "zipf")
+
+
+def _draw(r, shape):
+    if PSB_ART == "uniform":
+        return r.integers(0, N_ART + 1, shape).astype(np.int32)
+    m = int(np.prod(shape))
+    ranks = r.zipf(1.07, size=3 * m)
+    ranks = ranks[ranks <= N_ART + 1][:m] - 1
+    perm = r.permutation(N_ART + 1).astype(np.int32)
+    return perm[ranks].reshape(shape).astype(np.int32)
 
 
 def main():
@@ -58,10 +71,19 @@ def main():
         labels = np.zeros((BS, K), np.float32)
         labels[:, 0] = 1.0
         raws.append({
-            "hist_idx": jnp.asarray(r.integers(0, N_ART + 1, (BS, H)).astype(np.int32)),
-            "cand_idx": jnp.asarray(r.integers(0, N_ART + 1, (BS, K)).astype(np.int32)),
-            "labels": jnp.asarray(labels),
+            "hist_idx": _draw(r, (BS, H)),
+            "cand_idx": _draw(r, (BS, K)),
+            "labels": labels,
         })
+    if PSB_DEDUP:
+        from ebnerd_tpu.training.dedup import pad_dedup_to, prep_dedup_batch
+
+        preps = [prep_dedup_batch(raw, min_bucket=512) for raw in raws]
+        uniq = int(np.mean([p.pop("n_uniq") for p in preps]))
+        bucket = max(p["art_uniq"].shape[0] for p in preps)
+        raws = [pad_dedup_to(p, bucket) for p in preps]
+        print(f"dedup: mean uniq {uniq}/{BS * (H + K)} slots, bucket {bucket}")
+    raws = [{k: jnp.asarray(v) for k, v in raw.items()} for raw in raws]
     jax.block_until_ready(raws[-1]["labels"])
     keys = list(jax.random.split(jax.random.key(0, impl="rbg"), WARMUP + STEPS))
     jax.block_until_ready(keys[-1])
