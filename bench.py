@@ -219,16 +219,15 @@ def main() -> None:
         raws = [{k: v[i] for k, v in all_b.items()}
                 for i in range(warmup + steps)]
     if dedup:
-        from ebnerd_tpu.training.dedup import pad_dedup_to, prep_dedup_batch
+        from ebnerd_tpu.training.dedup import prep_dedup_batch
 
         slots = bs * (HISTORY + NPRATIO + 1)
         preps = [prep_dedup_batch(r, min_bucket=512) for r in raws]
-        uniq_frac = float(np.mean([p["n_uniq"] for p in preps]) / slots)
-        bucket = max(p["art_uniq"].shape[0] for p in preps)
-        raws = []
-        for p in preps:
-            p.pop("n_uniq")
-            raws.append(pad_dedup_to(p, bucket))
+        uniq_frac = float(np.mean([p.pop("n_uniq") for p in preps]) / slots)
+        # per-batch ladder buckets, exactly what fit()'s prefetch thread
+        # produces (padding every step to the max bucket measured ~12%
+        # slower end to end; one compiled program per distinct bucket)
+        raws = preps
     prep_ms = (time.perf_counter() - t_prep) / (warmup + steps) * 1000
     staged = [{k: jnp.asarray(v) for k, v in raw.items()} for raw in raws]
     probe = "hist_slot" if dedup else "hist_idx"
@@ -240,6 +239,17 @@ def main() -> None:
     jax.block_until_ready(subs[-1])
 
     loss = None
+    if dedup:
+        # compile-warm every distinct bucket size before timing (a
+        # mid-measurement compile would time the compiler, not the step).
+        # _train_step donates its batch, so warm on fresh copies.
+        seen: dict[int, dict] = {}
+        for s in staged:
+            seen.setdefault(s["art_uniq"].shape[0], s)
+        for ex in seen.values():
+            copy = {k: jnp.copy(v) for k, v in ex.items()}
+            trainer.state, loss = trainer._train_step(trainer.state, copy, subs[0])
+        jax.block_until_ready(loss)
     for i in range(warmup):
         trainer.state, loss = trainer._train_step(trainer.state, staged[i], subs[i])
     jax.block_until_ready(loss)

@@ -66,10 +66,13 @@ def mesh_fused_train_eval() -> None:
         "labels": labels,
     }
     trainer.init_state(batch)
-    import jax.numpy as jnp
+
+    from ebnerd_tpu.training.dedup import prep_dedup_batch
 
     key = jax.random.key(0, impl=trainer.config.rng_impl)
-    trainer.state, loss = trainer._train_step(trainer.state, trainer._put(batch), key)
+    # production default: dedup prep + fused kernel + mesh, on the chip
+    ded = prep_dedup_batch(batch, trainer.config.dedup_min_bucket)
+    trainer.state, loss = trainer._train_step(trainer.state, trainer._put(ded), key)
     loss = float(loss)
     assert np.isfinite(loss), f"non-finite loss {loss}"
 
@@ -97,8 +100,8 @@ def mesh_fused_train_eval() -> None:
     scores = trainer.score(feed)
     assert scores.total == inview.total
     assert np.isfinite(scores.values).all()
-    print(f"[smoke_tpu] fused mesh train (loss {loss:.4f}) + two-tower eval "
-          f"({scores.total} scores): OK")
+    print(f"[smoke_tpu] fused+dedup mesh train (loss {loss:.4f}) + two-tower "
+          f"eval ({scores.total} scores): OK")
 
 
 def main() -> None:
