@@ -157,11 +157,13 @@ def main() -> None:
     from ebnerd_tpu.models.newsrec import NRMS
     from ebnerd_tpu.training.trainer import Trainer, TrainerConfig
 
-    # batch-size scaling measured r3 (same program family, 30 steps):
-    # bs512 4,014 imp/s / 12.4% MFU; bs1024 4,273 / 13.2%; bs2048 4,425 /
-    # 13.6%. Default 1024: most of the scaling win without doubling the
-    # step latency again (240 ms vs 463 ms at bs2048).
-    bs = int(os.environ.get("BENCH_BS", "1024"))
+    # batch-size scaling re-measured r4 with dedup (30 steps, stock env):
+    # bs1024 14,092 imp/s (72.7 ms); bs2048 19,933 (102.7 ms) — the dedup
+    # fraction improves with batch (23.9% -> 18.5% unique), so scaling is
+    # super-linear until the step re-lengthens. Default 2048: 5.7x the
+    # analytic A100 estimate at a ~100 ms step. (r3 per-slot scaling for
+    # history: bs512 4,014 / bs1024 4,484 / bs2048 4,425.)
+    bs = int(os.environ.get("BENCH_BS", "2048"))
     steps = int(os.environ.get("BENCH_STEPS", "30"))
     warmup = int(os.environ.get("BENCH_WARMUP", "5"))
     # bf16 compute (fp32 params) is the TPU-native default; measured AUC

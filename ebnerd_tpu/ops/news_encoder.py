@@ -224,7 +224,7 @@ def fused_news_encoder(
     q_att: jnp.ndarray,
     *,
     num_heads: int,
-    block_n: int = 8,  # bs1024 sweep (r3): 8 -> 4,484 imp/s, 16 -> 4,273, 32 -> 4,151; 4 is below the TPU 8-row block minimum
+    block_n: int = 8,  # sweeps: r3 bs1024 per-slot 8/16/32 -> 4,484/4,273/4,151; r4 bs1024 dedup 8 -> 14,092 vs 16 -> 13,602; 4 is below the TPU 8-row block minimum
     interpret: bool = False,
     drop_mask: jnp.ndarray | None = None,
     keep_prob: float = 1.0,
