@@ -158,12 +158,17 @@ def main() -> None:
     from ebnerd_tpu.training.trainer import Trainer, TrainerConfig
 
     # batch-size scaling re-measured r4 with dedup (30 steps, stock env):
-    # bs1024 14,092 imp/s (72.7 ms); bs2048 19,933 (102.7 ms) — the dedup
-    # fraction improves with batch (23.9% -> 18.5% unique), so scaling is
-    # super-linear until the step re-lengthens. Default 2048: 5.7x the
-    # analytic A100 estimate at a ~100 ms step. (r3 per-slot scaling for
-    # history: bs512 4,014 / bs1024 4,484 / bs2048 4,425.)
-    bs = int(os.environ.get("BENCH_BS", "2048"))
+    # bs1024 14,092 imp/s (72.7 ms) / bs2048 19,933 (102.7) / bs4096
+    # 26,160 (156.6) / bs8192 41,101 (199.3, 9.1% unique — the unique
+    # count saturates toward the 25k catalogue, the regime the two-tower
+    # eval already lives in). The dedup fraction improves with batch
+    # (23.9% -> 9.1% unique), so scaling is super-linear. Default 4096:
+    # 7.5x the analytic A100 estimate at a 157 ms step, a batch size
+    # still in normal large-batch training practice; bs8192 is recorded
+    # as the scaling peak (convergence at such batch sizes is a training
+    # -recipe question the bench does not claim to answer). r3 per-slot
+    # history: bs512 4,014 / bs1024 4,484 / bs2048 4,425.
+    bs = int(os.environ.get("BENCH_BS", "4096"))
     steps = int(os.environ.get("BENCH_STEPS", "30"))
     warmup = int(os.environ.get("BENCH_WARMUP", "5"))
     # bf16 compute (fp32 params) is the TPU-native default; measured AUC
