@@ -34,6 +34,14 @@ unique article per step, shared across its duplicate slots (fewer,
 slightly correlated masks). Convergence parity is pinned by a recorded
 training-parity run (PARITY_TRAIN.json, dedup entry).
 
+Exclusion: models whose ARTICLE tower runs BatchNorm in train mode
+(NRMSDocVec's dense stack; NRMS with ``newsencoder_units_per_layer``)
+cannot dedup — train-mode BN statistics run over the article axis, and
+the deduped axis holds unique articles PLUS bucket-padding rows, which
+would pollute the batch moments (flax BatchNorm has no row mask). NPA
+is excluded for a different reason (user-personalized word attention).
+``dedup_capable`` encodes both rules; the Trainer's "auto" consults it.
+
 Sharding: art_uniq's leading axis is the unique-article axis; under a
 data-parallel mesh `shard_batch` splits it over 'data' like any batch
 array, so the encoder work shards too. Slots are GLOBAL positions —
@@ -45,10 +53,30 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["dedup_bucket", "prep_dedup_batch", "pad_dedup_to", "DEDUP_KEYS"]
+__all__ = ["dedup_bucket", "prep_dedup_batch", "pad_dedup_to", "DEDUP_KEYS",
+           "dedup_capable"]
 
 # keys prep_dedup_batch adds (consumed by models/inputs.py builders)
 DEDUP_KEYS = ("art_uniq", "hist_slot", "cand_slot")
+
+
+def dedup_capable(model) -> tuple[bool, str]:
+    """(capable, reason-if-not) for one model instance (see module
+    docstring: user-dependent encoders and train-mode article-tower
+    BatchNorm are excluded)."""
+    from ..serving import model_kind
+
+    kind = model_kind(model)
+    if kind is None:
+        return False, ("user-dependent news encoder (personalized "
+                       "attention) cannot share encodes across slots")
+    hp = getattr(model, "hparams", None)
+    units = getattr(hp, "newsencoder_units_per_layer", None)
+    if kind in ("nrms_docvec", "nrmsdocvec") or (kind == "nrms" and units):
+        return False, ("article tower runs train-mode BatchNorm; bucket-"
+                       "padded unique-article statistics would deviate "
+                       "(training/dedup.py Exclusion note)")
+    return True, ""
 
 
 def dedup_bucket(n: int, minimum: int = 512) -> int:

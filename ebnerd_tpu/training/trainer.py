@@ -182,11 +182,12 @@ class Trainer:
             self.tables = {k: jnp.asarray(v) for k, v in tables.items()}
         if config.optimizer != "adam":
             raise ValueError(f"this optimizer not defined {config.optimizer}")
-        dedup_ok = model_kind(model) is not None
+        from .dedup import dedup_capable
+
+        dedup_ok, dedup_why = dedup_capable(model)
         if config.dedup_articles is True and not dedup_ok:
             raise ValueError(
-                f"{type(model).__name__} has a user-dependent news encoder; "
-                "article dedup cannot share encodes across slots")
+                f"dedup_articles: {type(model).__name__}: {dedup_why}")
         self._dedup = (dedup_ok if config.dedup_articles == "auto"
                        else bool(config.dedup_articles))
         self._sparse = bool(config.sparse_embedding)

@@ -272,3 +272,122 @@ def test_dedup_under_mesh_matches_single_device():
     emb_1 = np.asarray(state_1.params["word_embedding"]["embedding"])
     emb_m = np.asarray(state_m.params["word_embedding"]["embedding"])
     np.testing.assert_allclose(emb_1, emb_m, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("name,model,builder,with_user",
+                         [m for m in _models()],
+                         ids=[m[0] for m in _models()])
+def test_grads_equivalent_all_families(name, model, builder, with_user):
+    """No-dropout GRADIENTS through the dedup path == the per-slot path
+    for every dedup-capable family (comparing grads, not post-Adam
+    params: Adam's m/sqrt(v) normalization blows last-ulp differences on
+    near-zero-gradient components up to ~lr).
+
+    NRMSDocVec is excluded from dedup entirely (train-mode BatchNorm in
+    the article tower — bucket-padding rows would pollute the batch
+    moments; see training/dedup.py Exclusion note and the test below)."""
+    if name == "nrms_docvec":
+        pytest.skip("BatchNorm article tower: dedup excluded by design")
+    rng = np.random.default_rng(11)
+    tables = _tables(rng)
+    raw = _batch(np.random.default_rng(12), with_user=with_user)
+
+    def grads(dedup):
+        cfg = TrainerConfig(learning_rate=1e-2, seed=0, dedup_articles=dedup,
+                            early_stopping_patience=None, lr_patience=None)
+        tr = Trainer(model, tables, builder, cfg, log_fn=lambda s: None)
+        tr.init_state(dict(raw))
+        r = dict(raw)
+        if dedup:
+            r = prep_dedup_batch(r, 8)
+            r.pop("n_uniq")
+        batch = builder(tr.tables, {k: jnp.asarray(v) for k, v in r.items()})
+        labels = jnp.asarray(raw["labels"])
+
+        def loss_of(p):
+            variables = {"params": p}
+            mutable = False
+            if tr.state.batch_stats:
+                variables["batch_stats"] = tr.state.batch_stats
+                mutable = ["batch_stats"]
+            out = model.apply(variables, batch, train=True,
+                              rngs={"dropout": jax.random.key(0)},
+                              mutable=mutable)
+            logits = out[0] if mutable else out
+            return tr.loss_fn(logits, labels)
+
+        loss, g = jax.value_and_grad(loss_of)(tr.state.params)
+        return float(loss), g
+
+    loss_p, g_p = grads(False)
+    loss_d, g_d = grads(True)
+    assert np.isclose(loss_p, loss_d, rtol=1e-6)
+    flat_d = dict(jax.tree_util.tree_leaves_with_path(g_d))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(g_p):
+        np.testing.assert_allclose(np.asarray(leaf), np.asarray(flat_d[path]),
+                                   rtol=1e-3, atol=1e-6,
+                                   err_msg=f"{name} {path}")
+
+
+def test_batchnorm_models_excluded_from_dedup():
+    """Models with train-mode BatchNorm in the article tower must be
+    auto-excluded (bucket-padding rows would pollute the batch moments —
+    observed: loss 3.04 vs 1.29 on a duplicate-free batch), and forcing
+    dedup on them must raise."""
+    _, model, builder, _ = list(_models())[1]  # NRMSDocVec
+    tables = _tables(np.random.default_rng(21))
+    tr = Trainer(model, tables, builder,
+                 TrainerConfig(dedup_articles="auto"), log_fn=lambda s: None)
+    assert tr._dedup is False
+    with pytest.raises(ValueError, match="BatchNorm"):
+        Trainer(model, tables, builder,
+                TrainerConfig(dedup_articles=True), log_fn=lambda s: None)
+    # NRMS with a dense stack (BN) is excluded the same way
+    hp = HParamsNRMS(title_size=T, history_size=H, head_num=2, head_dim=8,
+                     attention_hidden_dim=16, dropout=0.0,
+                     newsencoder_units_per_layer=(12,))
+    m2 = NRMS(hp, vocab_size=VOCAB, word_emb_dim=EMB)
+    tr2 = Trainer(m2, {"title": tables["title"]}, token_batch,
+                  TrainerConfig(dedup_articles="auto"), log_fn=lambda s: None)
+    assert tr2._dedup is False
+
+
+def test_fastformer_grads_equivalent():
+    from ebnerd_tpu.models.config import HParamsFastformer
+    from ebnerd_tpu.models.fastformer import Fastformer
+
+    rng = np.random.default_rng(13)
+    hp = HParamsFastformer(n_layers=1, embedding_dim=16, n_heads=2,
+                           intermediate_dim=16, title_size=T, history_size=H,
+                           dropout=0.0)
+    model = Fastformer(hp, vocab_size=VOCAB)
+    tables = {"title": _tables(rng)["title"]}
+    raw = _batch(np.random.default_rng(14))
+
+    def grads(dedup):
+        cfg = TrainerConfig(learning_rate=1e-2, seed=0, dedup_articles=dedup,
+                            early_stopping_patience=None, lr_patience=None)
+        tr = Trainer(model, tables, token_batch, cfg, log_fn=lambda s: None)
+        tr.init_state(dict(raw))
+        r = dict(raw)
+        if dedup:
+            r = prep_dedup_batch(r, 8)
+            r.pop("n_uniq")
+        batch = token_batch(tr.tables, {k: jnp.asarray(v) for k, v in r.items()})
+        labels = jnp.asarray(raw["labels"])
+
+        def loss_of(p):
+            logits = model.apply({"params": p}, batch, train=True,
+                                 rngs={"dropout": jax.random.key(0)})
+            return tr.loss_fn(logits, labels)
+
+        loss, g = jax.value_and_grad(loss_of)(tr.state.params)
+        return float(loss), g
+
+    loss_p, g_p = grads(False)
+    loss_d, g_d = grads(True)
+    assert np.isclose(loss_p, loss_d, rtol=1e-6)
+    flat_d = dict(jax.tree_util.tree_leaves_with_path(g_d))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(g_p):
+        np.testing.assert_allclose(np.asarray(leaf), np.asarray(flat_d[path]),
+                                   rtol=1e-3, atol=1e-6, err_msg=str(path))
