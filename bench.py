@@ -203,10 +203,13 @@ def main() -> None:
                  use_fused_encoder=fused, fused_block_n=fused_block)
     rng = np.random.default_rng(0)
     table = _token_table(rng, token_dist)
+    # BENCH_MU_DTYPE=bfloat16 stores Adam's first moment in bf16 (halves
+    # the [V,E] m-traffic; a numerics trade, default off = parity fp32)
+    mu_dtype = os.environ.get("BENCH_MU_DTYPE") or None
     trainer = Trainer(
         model, {"title": table}, token_batch,
         TrainerConfig(learning_rate=1e-4, seed=0, sparse_embedding=sparse,
-                      dedup_articles=dedup),
+                      dedup_articles=dedup, adam_mu_dtype=mu_dtype),
         log_fn=lambda s: None,
     )
     first = {k: v[0] for k, v in _batches(0, 1, bs, N_ARTICLES + 1, art_dist).items()}

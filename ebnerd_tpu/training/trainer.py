@@ -130,6 +130,11 @@ class TrainerConfig:
     # reference's independent mask per slot (training/dedup.py).
     dedup_articles: Any = "auto"
     dedup_min_bucket: int = 512
+    # dtype for Adam's FIRST moment (optax mu_dtype). "bfloat16" halves
+    # the m read/write traffic of the [V, E] word-embedding sweep — the
+    # standard mixed-precision-optimizer-state trade. None (default) =
+    # fp32, the reference-parity numerics.
+    adam_mu_dtype: Optional[str] = None
 
 
 class Trainer:
@@ -232,7 +237,8 @@ class Trainer:
             self._token_keys = tuple(
                 key for name in self._sparse_tables
                 for key in token_keys_map[name])
-        self.tx = optax.inject_hyperparams(optax.adam)(learning_rate=config.learning_rate)
+        self.tx = optax.inject_hyperparams(optax.adam, static_args=("mu_dtype",))(
+            learning_rate=config.learning_rate, mu_dtype=config.adam_mu_dtype)
         if config.accumulation_steps > 1:
             self.tx = optax.MultiSteps(self.tx, every_k_schedule=config.accumulation_steps)
         self.loss_fn = loss_fn_for(config.loss)
