@@ -472,14 +472,36 @@ class NPA(nn.Module):
 
     def __call__(self, batch: dict, train: bool = False) -> jnp.ndarray:
         u_emb = self.user_embedding(batch["user_id"]).astype(self.dtype)  # [B, U]
-        hist, (b, h) = _flatten_articles(batch["hist_tokens"])
-        cand, (_, k) = _flatten_articles(batch["cand_tokens"])
-        # one encoder invocation over history+candidates (user embedding
-        # repeated to match each article slot)
-        both = jnp.concatenate([hist, cand])
-        both_u = jnp.concatenate(
-            [jnp.repeat(u_emb, h, axis=0), jnp.repeat(u_emb, k, axis=0)])
-        vecs = self.encode_news(both, both_u, train)
+        if "uniq_tokens" in batch:
+            # PARTIAL dedup (training/dedup.py): only the word-level
+            # personalized pooling depends on the user; the embedding ->
+            # conv prefix (the FLOP-heavy ~94% of the encoder) is
+            # user-independent and runs ONCE per unique article. The
+            # conv activations are gathered back to slots and pooled
+            # per (impression, slot) with that impression's user query —
+            # identical math to the per-slot path in eval mode.
+            x = self.embedding(batch["uniq_tokens"])
+            x = self.drop(x, deterministic=not train)
+            x = self.conv(x)
+            x = self.drop(x, deterministic=not train)        # [C, T, F]
+            hist_y = x[batch["hist_slot"]]                   # [B, H, T, F]
+            cand_y = x[batch["cand_slot"]]                   # [B, K, T, F]
+            (b, h), k = hist_y.shape[:2], cand_y.shape[1]
+            both_y = jnp.concatenate(
+                [hist_y.reshape(b * h, *hist_y.shape[2:]),
+                 cand_y.reshape(b * k, *cand_y.shape[2:])])
+            both_u = jnp.concatenate(
+                [jnp.repeat(u_emb, h, axis=0), jnp.repeat(u_emb, k, axis=0)])
+            vecs = self.word_pool(both_y, self.word_query(both_u), train)
+        else:
+            hist, (b, h) = _flatten_articles(batch["hist_tokens"])
+            cand, (_, k) = _flatten_articles(batch["cand_tokens"])
+            # one encoder invocation over history+candidates (user
+            # embedding repeated to match each article slot)
+            both = jnp.concatenate([hist, cand])
+            both_u = jnp.concatenate(
+                [jnp.repeat(u_emb, h, axis=0), jnp.repeat(u_emb, k, axis=0)])
+            vecs = self.encode_news(both, both_u, train)
         hist_vecs = vecs[: b * h].reshape(b, h, -1)
         cand_vecs = vecs[b * h :].reshape(b, k, -1)
         user = self.news_pool(hist_vecs, self.news_query(u_emb), train)

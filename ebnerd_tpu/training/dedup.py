@@ -38,9 +38,11 @@ Exclusion: models whose ARTICLE tower runs BatchNorm in train mode
 (NRMSDocVec's dense stack; NRMS with ``newsencoder_units_per_layer``)
 cannot dedup — train-mode BN statistics run over the article axis, and
 the deduped axis holds unique articles PLUS bucket-padding rows, which
-would pollute the batch moments (flax BatchNorm has no row mask). NPA
-is excluded for a different reason (user-personalized word attention).
-``dedup_capable`` encodes both rules; the Trainer's "auto" consults it.
+would pollute the batch moments (flax BatchNorm has no row mask).
+NPA dedups PARTIALLY: the user-personalized word pooling stays
+per-slot, but the user-independent embedding->conv prefix (the
+FLOP-heavy part) runs once per unique article (NPA.__call__).
+``dedup_capable`` encodes these rules; the Trainer's "auto" consults it.
 
 Sharding: art_uniq's leading axis is the unique-article axis; under a
 data-parallel mesh `shard_batch` splits it over 'data' like any batch
@@ -62,14 +64,19 @@ DEDUP_KEYS = ("art_uniq", "hist_slot", "cand_slot")
 
 def dedup_capable(model) -> tuple[bool, str]:
     """(capable, reason-if-not) for one model instance (see module
-    docstring: user-dependent encoders and train-mode article-tower
-    BatchNorm are excluded)."""
+    docstring: train-mode article-tower BatchNorm is excluded; unknown
+    model families are excluded conservatively). NPA is capable via
+    PARTIAL dedup: its embedding->conv prefix is user-independent and
+    dedups, while the personalized pooling stays per-slot
+    (models/newsrec.py NPA.__call__)."""
     from ..serving import model_kind
 
     kind = model_kind(model)
     if kind is None:
-        return False, ("user-dependent news encoder (personalized "
-                       "attention) cannot share encodes across slots")
+        if type(model).__name__.lower() == "npa":
+            return True, ""
+        return False, ("unknown model family: no slot path implemented "
+                       "for article dedup")
     hp = getattr(model, "hparams", None)
     units = getattr(hp, "newsencoder_units_per_layer", None)
     if kind in ("nrms_docvec", "nrmsdocvec") or (kind == "nrms" and units):

@@ -39,7 +39,7 @@ N_USERS = 50_000
 DTYPE = jnp.bfloat16
 # r4: unique-article dedup (training/dedup.py) + Zipf article popularity,
 # both defaults matching bench.py; PM_DEDUP=0 / PM_ART_DIST=uniform for
-# the per-slot baseline. NPA always runs per-slot (user-dependent).
+# the per-slot baseline. NPA dedups PARTIALLY (conv prefix only).
 PM_DEDUP = os.environ.get("PM_DEDUP", "1") != "0"
 PM_ART = os.environ.get("PM_ART_DIST", "zipf")
 
@@ -116,7 +116,7 @@ def main():
         if name in ("lstur", "npa"):
             raw["user_idx"] = r.integers(0, N_USERS, BS).astype(np.int32)
         note = ""
-        if PM_DEDUP and name != "npa":
+        if PM_DEDUP:
             from ebnerd_tpu.training.dedup import prep_dedup_batch
 
             raw = prep_dedup_batch(raw, min_bucket=512)

@@ -115,6 +115,12 @@ def _models():
                                     vert_num=5, subvert_num=9, dropout=0.0),
                         **common),
            naml_batch, False)
+    # NPA dedups PARTIALLY: user-independent embedding->conv prefix only
+    yield ("npa", NPA(HParamsNPA(title_size=T, history_size=H, filter_num=12,
+                                 window_size=3, attention_hidden_dim=16,
+                                 user_emb_dim=8, n_users=N_USERS,
+                                 dropout=0.0), **common),
+           token_batch, True)
 
 
 @pytest.mark.parametrize("name,model,builder,with_user",
@@ -194,18 +200,31 @@ def test_train_step_equivalent_no_dropout():
                                    rtol=1e-3, atol=2e-5, err_msg=str(path))
 
 
-def test_npa_dedup_rejected_and_auto_off():
+def test_npa_partial_dedup_auto_on_and_unknown_model_rejected():
+    """NPA dedups partially (conv prefix), so auto turns dedup ON; an
+    unknown model family is rejected conservatively."""
     hp = HParamsNPA(title_size=T, history_size=H, filter_num=12, window_size=3,
                     attention_hidden_dim=16, user_emb_dim=8, n_users=N_USERS,
                     dropout=0.0)
     model = NPA(hp, vocab_size=VOCAB, word_emb_dim=EMB)
     tables = _tables(np.random.default_rng(5))
-    with pytest.raises(ValueError, match="user-dependent"):
-        Trainer(model, {"title": tables["title"]}, token_batch,
-                TrainerConfig(dedup_articles=True), log_fn=lambda s: None)
     tr = Trainer(model, {"title": tables["title"]}, token_batch,
                  TrainerConfig(dedup_articles="auto"), log_fn=lambda s: None)
-    assert tr._dedup is False
+    assert tr._dedup is True
+
+    from flax import linen as nn
+
+    class Mystery(nn.Module):
+        @nn.compact
+        def __call__(self, batch, train=False):
+            return jnp.zeros((1, 1))
+
+    with pytest.raises(ValueError, match="unknown model family"):
+        Trainer(Mystery(), {"title": tables["title"]}, token_batch,
+                TrainerConfig(dedup_articles=True), log_fn=lambda s: None)
+    tr2 = Trainer(Mystery(), {"title": tables["title"]}, token_batch,
+                  TrainerConfig(dedup_articles="auto"), log_fn=lambda s: None)
+    assert tr2._dedup is False
 
 
 def test_fit_with_dedup_and_scan_groups():
