@@ -747,9 +747,14 @@ class Trainer:
         if use_tt:
             return self._score_two_tower(feed)
         out = np.zeros((feed.n_rows, feed.width), np.float32)
+        # dispatch every batch asynchronously, fetch afterwards: a
+        # per-batch np.asarray would serialize (transfer -> compute ->
+        # fetch) round-trips, which dominates on high-latency links
+        pending = []
         for raw in feed.batches():
-            rows = raw["rows"]
-            scores = np.asarray(self._score_step(self.state, self._put(raw)))
+            pending.append((raw["rows"], self._score_step(self.state, self._put(raw))))
+        for rows, dev in pending:
+            scores = np.asarray(dev)
             out[rows, : scores.shape[1]] = scores[: len(rows)]
         return feed.unpad(out)
 
@@ -777,10 +782,15 @@ class Trainer:
         art_vecs = self._article_index()
         art_valid = article_validity(self.tables)
         out = np.zeros((feed.n_rows, feed.width), np.float32)
+        # async dispatch of all batches, then one fetch pass (see score())
+        pending = []
         for raw in feed.batches():
             rows = raw["rows"]
             raw = {k: v for k, v in raw.items()
                    if k not in ("n_valid", "rows", "cand_mask")}
-            scores = np.asarray(self._two_tower_step(self.state, art_vecs, art_valid, raw))
+            pending.append(
+                (rows, self._two_tower_step(self.state, art_vecs, art_valid, raw)))
+        for rows, dev in pending:
+            scores = np.asarray(dev)
             out[rows, : scores.shape[1]] = scores[: len(rows)]
         return feed.unpad(out)
