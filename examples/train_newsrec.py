@@ -89,7 +89,8 @@ def get_args(argv=None):
     p.add_argument("--dtype", choices=("float32", "bfloat16"), default="float32")
     p.add_argument("--sparse_embedding", action="store_true",
                    help="host-deduped row-sparse word-embedding updates "
-                        "(TF sparse-Adam semantics; training/sparse_embed.py)")
+                        "(LazyAdam-style row-sparse semantics — a deliberate "
+                        "deviation; training/sparse_embed.py)")
     p.add_argument("--use_fused_encoder", action="store_true",
                    help="pallas fused attention+pooling kernels (nrms only)")
     p.add_argument("--no_two_tower_eval", action="store_true",
