@@ -410,3 +410,34 @@ def test_fastformer_grads_equivalent():
     for path, leaf in jax.tree_util.tree_leaves_with_path(g_p):
         np.testing.assert_allclose(np.asarray(leaf), np.asarray(flat_d[path]),
                                    rtol=1e-3, atol=1e-6, err_msg=str(path))
+
+
+def test_dedup_with_gradient_accumulation():
+    """Dedup composes with optax.MultiSteps accumulation: varying bucket
+    shapes across micro-batches leave the param-shaped accumulator
+    untouched; the model only updates every accumulation_steps batches."""
+    rng = np.random.default_rng(31)
+    tables = _tables(rng)
+    hp = HParamsNRMS(title_size=T, history_size=H, head_num=2, head_dim=8,
+                     attention_hidden_dim=16, dropout=0.0)
+    model = NRMS(hp, vocab_size=VOCAB, word_emb_dim=EMB)
+    tr = Trainer(model, {"title": tables["title"]}, token_batch,
+                 TrainerConfig(learning_rate=1e-2, seed=0,
+                               accumulation_steps=2,
+                               early_stopping_patience=None,
+                               lr_patience=None),
+                 log_fn=lambda s: None)
+    raw = _batch(np.random.default_rng(32))
+    tr.init_state(dict(raw))
+    p0 = np.asarray(tr.state.params["word_embedding"]["embedding"])
+    key = jax.random.key(0, impl=tr.config.rng_impl)
+    for i, bucket in enumerate((8, 300)):  # two different ladder buckets
+        p = prep_dedup_batch(dict(raw), bucket)
+        p.pop("n_uniq")
+        tr.state, loss = tr._train_step(tr.state, tr._put(p), key)
+        p_now = np.asarray(tr.state.params["word_embedding"]["embedding"])
+        if i == 0:  # first micro-batch: accumulate only, no update
+            np.testing.assert_array_equal(p_now, p0)
+        else:       # second: the optimizer applied
+            assert np.abs(p_now - p0).max() > 0
+    assert np.isfinite(float(loss))
