@@ -35,6 +35,8 @@ def _user(raw: dict, out: dict) -> dict:
 def _slots(raw: dict, out: dict) -> dict:
     out["hist_slot"] = raw["hist_slot"]
     out["cand_slot"] = raw["cand_slot"]
+    if "art_n_uniq" in raw:  # lets fused kernels skip bucket-pad blocks
+        out["art_n_uniq"] = raw["art_n_uniq"]
     return _user(raw, out)
 
 

@@ -229,7 +229,8 @@ class NRMS(nn.Module):
 
     def _fused(self, x: jnp.ndarray, att: "_SelfAttParams", pool: "_PoolParams",
                train: bool, with_dropout: bool,
-               emb_dropout_in_kernel: bool = False) -> jnp.ndarray:
+               emb_dropout_in_kernel: bool = False,
+               n_valid=None) -> jnp.ndarray:
         from ..ops.news_encoder import news_encoder
 
         hp = self.hparams
@@ -262,11 +263,13 @@ class NRMS(nn.Module):
         return news_encoder(x_in, wq, wk, wv, w, b, q, mask, seed,
                             hp.head_num, self.fused_block_n,
                             self.fused_interpret, keep,
-                            compute, emb_keep).astype(self.dtype)
+                            compute, emb_keep, n_valid).astype(self.dtype)
 
-    def encode_news(self, tokens: jnp.ndarray, train: bool) -> jnp.ndarray:
+    def encode_news(self, tokens: jnp.ndarray, train: bool,
+                    n_valid=None) -> jnp.ndarray:
         """tokens [N, T] -> news vectors [N, head_num*head_dim]
-        (reference news encoder, nrms.py:116-159)."""
+        (reference news encoder, nrms.py:116-159). ``n_valid`` (dedup
+        path) lets the fused kernel skip trailing bucket-pad blocks."""
         hp = self.hparams
         x = self.embedding(tokens)
         rng_drop = self._rng_dropout_active(train) if self.use_fused_encoder else False
@@ -277,7 +280,8 @@ class NRMS(nn.Module):
             # the attention->pooling dropout from its on-chip PRNG
             return self._fused(x, self.news_self_att, self.news_pool,
                                train, with_dropout=True,
-                               emb_dropout_in_kernel=rng_drop)
+                               emb_dropout_in_kernel=rng_drop,
+                               n_valid=n_valid)
         x = self.news_self_att(x, x, x)
         if hp.newsencoder_units_per_layer:
             x = self.news_dense(x, train)
@@ -296,7 +300,8 @@ class NRMS(nn.Module):
 
     def __call__(self, batch: dict, train: bool = False) -> jnp.ndarray:
         if "uniq_tokens" in batch:
-            art = self.encode_news(batch["uniq_tokens"], train)
+            art = self.encode_news(batch["uniq_tokens"], train,
+                                   n_valid=batch.get("art_n_uniq"))
             hist_vecs, cand_vecs = _dedup_gather(art, batch)
         else:
             hist_vecs, cand_vecs = _encode_both(

@@ -161,7 +161,7 @@ def _prng_mask(seed, stream: int, gsub0, n_sub: int, rows8: int, width: int,
     return m / keep
 
 
-def _kernel(x_ref, wqkv_ref, w_ref, b_ref, q_ref, mask_ref,
+def _kernel(x_ref, wqkv_ref, w_ref, b_ref, q_ref, mask_ref, nv_ref,
             out_ref, *, num_heads: int, head_dim: int,
             keep_prob: float, cdt: jnp.dtype,
             rng_dropout: bool = False, emb_keep: float = 1.0):
@@ -175,40 +175,57 @@ def _kernel(x_ref, wqkv_ref, w_ref, b_ref, q_ref, mask_ref,
     (1,1) int32 seed in SMEM) instead of an HBM mask tensor — no mask
     generation or traffic outside the kernel; ``emb_keep`` additionally
     applies the reference's EMBEDDING dropout (nrms.py:136) to x inside
-    the kernel."""
+    the kernel.
+
+    ``nv_ref`` (SMEM (1,1) int32): number of VALID leading articles.
+    Blocks entirely past it (dedup bucket padding, training/dedup.py)
+    skip all compute and write zeros — the ladder buckets bound the
+    compiled-program count while compute scales with real articles.
+    Skipping is safe under sharding: a local row index >= n_valid implies
+    the global row is padding."""
     nb, t, din = x_ref.shape
     d = num_heads * head_dim
     s = _qkv_stride(d)
-    x = x_ref[:].reshape(nb * t, din)
-    if rng_dropout:
-        seed = mask_ref[0, 0]
-        gsub0 = pl.program_id(0) * (nb // 8)
-        if emb_keep < 1.0:
-            xm = _prng_mask(seed, 0, gsub0, nb // 8, 8 * t, din, emb_keep)
-            x = (x.astype(jnp.float32) * xm).astype(cdt)
-    qkv = _cdot(x, wqkv_ref[:], ((1,), (0,)), cdt)        # [nb*t, 3s]
-    q = qkv[:, 0:d]
-    k = qkv[:, s:s + d]
-    v = qkv[:, 2 * s:2 * s + d]
-    o = _mhsa(q.reshape(nb, t, d), k.reshape(nb, t, d), v.reshape(nb, t, d),
-              num_heads, head_dim, cdt).reshape(nb * t, d)
-    if keep_prob < 1.0:
-        # inverted dropout between attention and pooling (the reference's
-        # training-mode Dropout, nrms.py:154)
+    block_valid = pl.program_id(0) * nb < nv_ref[0, 0]
+
+    @pl.when(block_valid)
+    def _compute():
+        x = x_ref[:].reshape(nb * t, din)
         if rng_dropout:
-            o = o * _prng_mask(seed, 1, gsub0, nb // 8, 8 * t, d, keep_prob)
-        else:
-            o = o * mask_ref[:].reshape(nb * t, d).astype(jnp.float32) / keep_prob
-    # additive attention pooling over t
-    att = jnp.tanh(_cdot(o, w_ref[:], ((1,), (0,)), cdt) + b_ref[:])
-    att = _cdot(att, q_ref[:], ((1,), (0,)), cdt)         # [nb*t, 1]
-    att = att.reshape(nb, t)
-    att = att - jnp.max(att, axis=-1, keepdims=True)
-    expo = jnp.exp(att)
-    weight = expo / (jnp.sum(expo, axis=-1, keepdims=True) + 1e-8)    # [nb, t]
-    # VPU weighted sum over t (an M=1 batched dot wastes 7/8 MXU sublanes)
-    pooled = jnp.sum(o.reshape(nb, t, d) * weight[..., None], axis=1)
-    out_ref[:] = pooled.astype(jnp.float32)
+            seed = mask_ref[0, 0]
+            gsub0 = pl.program_id(0) * (nb // 8)
+            if emb_keep < 1.0:
+                xm = _prng_mask(seed, 0, gsub0, nb // 8, 8 * t, din, emb_keep)
+                x = (x.astype(jnp.float32) * xm).astype(cdt)
+        qkv = _cdot(x, wqkv_ref[:], ((1,), (0,)), cdt)        # [nb*t, 3s]
+        q = qkv[:, 0:d]
+        k = qkv[:, s:s + d]
+        v = qkv[:, 2 * s:2 * s + d]
+        o = _mhsa(q.reshape(nb, t, d), k.reshape(nb, t, d), v.reshape(nb, t, d),
+                  num_heads, head_dim, cdt).reshape(nb * t, d)
+        if keep_prob < 1.0:
+            # inverted dropout between attention and pooling (the
+            # reference's training-mode Dropout, nrms.py:154)
+            if rng_dropout:
+                seed = mask_ref[0, 0]
+                gsub0 = pl.program_id(0) * (nb // 8)
+                o = o * _prng_mask(seed, 1, gsub0, nb // 8, 8 * t, d, keep_prob)
+            else:
+                o = o * mask_ref[:].reshape(nb * t, d).astype(jnp.float32) / keep_prob
+        # additive attention pooling over t
+        att = jnp.tanh(_cdot(o, w_ref[:], ((1,), (0,)), cdt) + b_ref[:])
+        att = _cdot(att, q_ref[:], ((1,), (0,)), cdt)         # [nb*t, 1]
+        att = att.reshape(nb, t)
+        att = att - jnp.max(att, axis=-1, keepdims=True)
+        expo = jnp.exp(att)
+        weight = expo / (jnp.sum(expo, axis=-1, keepdims=True) + 1e-8)  # [nb, t]
+        # VPU weighted sum over t (an M=1 batched dot wastes 7/8 MXU sublanes)
+        pooled = jnp.sum(o.reshape(nb, t, d) * weight[..., None], axis=1)
+        out_ref[:] = pooled.astype(jnp.float32)
+
+    @pl.when(jnp.logical_not(block_valid))
+    def _skip():
+        out_ref[:] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
 
 @partial(jax.jit, static_argnames=("num_heads", "block_n", "interpret",
@@ -231,9 +248,14 @@ def fused_news_encoder(
     compute_dtype: str = "float32",
     rng_seed: jnp.ndarray | None = None,
     emb_keep_prob: float = 1.0,
+    n_valid: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """x [N, T, Din] (fp32 or bf16), projections [Din, D], pooling params
     ([D, A], [A], [A, 1]) -> pooled article vectors [N, D] fp32.
+
+    ``n_valid`` (optional int32 scalar/size-1 array): only the first
+    n_valid articles are real; blocks entirely past it (dedup bucket
+    padding) skip compute and emit zeros. None = all N valid.
 
     Dropout, two ways:
     - ``drop_mask`` [N, T, D] 0/1 + ``keep_prob``: the reference's
@@ -281,6 +303,8 @@ def fused_news_encoder(
         x = jnp.pad(x, ((0, n_pad - n), (0, 0), (0, 0)))
         if with_dropout:
             drop_mask = jnp.pad(drop_mask, ((0, n_pad - n), (0, 0), (0, 0)))
+    nv = jnp.asarray(n if n_valid is None else n_valid,
+                     jnp.int32).reshape(1, 1)
     grid = (n_pad // block_n,)
     cdt = jnp.dtype(compute_dtype)
     out = pl.pallas_call(
@@ -301,18 +325,19 @@ def fused_news_encoder(
             pl.BlockSpec((w_att.shape[1], 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             mask_spec,
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((block_n, d), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(x, wqkv, w_att, b_att, q_att, drop_mask)
+    )(x, wqkv, w_att, b_att, q_att, drop_mask, nv)
     return out[:n]
 
 
 def _bwd_kernel(x_ref, wqkv_ref, w_ref, b_ref, q_ref,
-                mask_ref, g_ref,
+                mask_ref, nv_ref, g_ref,
                 dx_ref, dwqkv_ref, dw_ref, db_ref, dq_ref,
                 *, num_heads: int, head_dim: int, keep_prob: float,
                 cdt: jnp.dtype, rng_dropout: bool = False,
@@ -323,11 +348,39 @@ def _bwd_kernel(x_ref, wqkv_ref, w_ref, b_ref, q_ref,
     blocks from HBM measured slower than redoing the well-overlapped
     matmuls.) With ``rng_dropout`` the masks are regenerated from the
     on-chip PRNG seeded per GLOBAL 8-article sub-block, so they match the
-    forward's exactly even when block sizes differ."""
+    forward's exactly even when block sizes differ.
+
+    Blocks entirely past ``nv_ref`` (dedup bucket padding) skip: their
+    incoming cotangent is exactly zero (no slot references a pad row),
+    so dx is zeroed directly and their weight-grad contribution — zero
+    by algebra — is never computed. Block 0 is always valid, so the
+    accumulator initialization always runs."""
     nb, t, din = x_ref.shape
     d = num_heads * head_dim
     s = _qkv_stride(d)
     is_first = pl.program_id(0) == 0
+    block_valid = pl.program_id(0) * nb < nv_ref[0, 0]
+
+    @pl.when(jnp.logical_not(block_valid))
+    def _skip():
+        dx_ref[:] = jnp.zeros(dx_ref.shape, dx_ref.dtype)
+
+    @pl.when(block_valid)
+    def _compute():
+        _bwd_body(x_ref, wqkv_ref, w_ref, b_ref, q_ref, mask_ref, g_ref,
+                  dx_ref, dwqkv_ref, dw_ref, db_ref, dq_ref, is_first,
+                  num_heads=num_heads, head_dim=head_dim,
+                  keep_prob=keep_prob, cdt=cdt, rng_dropout=rng_dropout,
+                  emb_keep=emb_keep)
+
+
+def _bwd_body(x_ref, wqkv_ref, w_ref, b_ref, q_ref, mask_ref, g_ref,
+              dx_ref, dwqkv_ref, dw_ref, db_ref, dq_ref, is_first,
+              *, num_heads: int, head_dim: int, keep_prob: float,
+              cdt: jnp.dtype, rng_dropout: bool, emb_keep: float):
+    nb, t, din = x_ref.shape
+    d = num_heads * head_dim
+    s = _qkv_stride(d)
 
     x = x_ref[:].reshape(nb * t, din)
     wqkv = wqkv_ref[:]
@@ -439,7 +492,7 @@ def _bwd_kernel(x_ref, wqkv_ref, w_ref, b_ref, q_ref,
 @partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13, 14))
 def news_encoder(x, wq, wk, wv, w_att, b_att, q_att, drop_mask, rng_seed,
                  num_heads, block_n=16, interpret=False, keep_prob=1.0,
-                 compute_dtype="float32", emb_keep_prob=1.0):
+                 compute_dtype="float32", emb_keep_prob=1.0, n_valid=None):
     """Differentiable fused news encoder (custom VJP, recompute backward).
 
     Dropout either from ``drop_mask`` (float 0/1 [N, T, D]; pass ones for
@@ -448,28 +501,34 @@ def news_encoder(x, wq, wk, wv, w_att, b_att, q_att, drop_mask, rng_seed,
     dropout via ``emb_keep_prob`` (see fused_news_encoder).
     ``compute_dtype="bfloat16"`` runs the matmuls at the MXU's native bf16
     rate with fp32 accumulation (forward and recompute-backward alike).
+    ``n_valid`` (optional int32 size-1 array) marks trailing articles as
+    dedup-bucket padding: forward AND backward skip those blocks (their
+    cotangent is structurally zero — no slot gathers a pad row).
     """
     return fused_news_encoder(x, wq, wk, wv, w_att, b_att, q_att,
                               num_heads=num_heads, block_n=block_n,
                               interpret=interpret, drop_mask=drop_mask,
                               keep_prob=keep_prob, compute_dtype=compute_dtype,
-                              rng_seed=rng_seed, emb_keep_prob=emb_keep_prob)
+                              rng_seed=rng_seed, emb_keep_prob=emb_keep_prob,
+                              n_valid=n_valid)
 
 
 def _news_encoder_fwd(x, wq, wk, wv, w_att, b_att, q_att, drop_mask, rng_seed,
                       num_heads, block_n, interpret, keep_prob, compute_dtype,
-                      emb_keep_prob):
+                      emb_keep_prob, n_valid=None):
     out = fused_news_encoder(x, wq, wk, wv, w_att, b_att, q_att,
                              num_heads=num_heads, block_n=block_n,
                              interpret=interpret, drop_mask=drop_mask,
                              keep_prob=keep_prob, compute_dtype=compute_dtype,
-                             rng_seed=rng_seed, emb_keep_prob=emb_keep_prob)
-    return out, (x, wq, wk, wv, w_att, b_att, q_att, drop_mask, rng_seed)
+                             rng_seed=rng_seed, emb_keep_prob=emb_keep_prob,
+                             n_valid=n_valid)
+    return out, (x, wq, wk, wv, w_att, b_att, q_att, drop_mask, rng_seed,
+                 n_valid)
 
 
 def _news_encoder_bwd(num_heads, block_n, interpret, keep_prob, compute_dtype,
                       emb_keep_prob, residuals, g):
-    x, wq, wk, wv, w_att, b_att, q_att, drop_mask, rng_seed = residuals
+    x, wq, wk, wv, w_att, b_att, q_att, drop_mask, rng_seed, n_valid = residuals
     n, t, din = x.shape
     d = wq.shape[1]
     a = w_att.shape[1]
@@ -499,6 +558,8 @@ def _news_encoder_bwd(num_heads, block_n, interpret, keep_prob, compute_dtype,
         g = jnp.pad(g, ((0, n_pad - n), (0, 0)))
         if with_dropout:
             mask_in = jnp.pad(mask_in, ((0, n_pad - n), (0, 0), (0, 0)))
+    nv = jnp.asarray(n if n_valid is None else n_valid,
+                     jnp.int32).reshape(1, 1)
     grid = (n_pad // block_n,)
     full = lambda *shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                                        memory_space=pltpu.VMEM)
@@ -521,6 +582,7 @@ def _news_encoder_bwd(num_heads, block_n, interpret, keep_prob, compute_dtype,
             full(din, 3 * s),
             full(d, a), full(a), full(a, 1),
             mask_spec,
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((block_n, d), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -533,19 +595,22 @@ def _news_encoder_bwd(num_heads, block_n, interpret, keep_prob, compute_dtype,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(x, wqkv, w_att, b_att, q_att, mask_in, g)
+    )(x, wqkv, w_att, b_att, q_att, mask_in, nv, g)
     dx, dwqkv, dw, db, dq = outs
     dwq = dwqkv[:, 0:d]
     dwk = dwqkv[:, s:s + d]
     dwv = dwqkv[:, 2 * s:2 * s + d]
     d_mask = jnp.zeros_like(residuals[7])
     # rng_seed is integer-typed: its tangent space is float0
+    import numpy as _np
+
     d_seed = None
     if residuals[8] is not None:
-        import numpy as _np
-
         d_seed = _np.zeros(_np.shape(residuals[8]), dtype=jax.dtypes.float0)
-    return (dx[:n], dwq, dwk, dwv, dw, db, dq, d_mask, d_seed)
+    d_nv = None  # int32: tangent space float0
+    if residuals[9] is not None:
+        d_nv = _np.zeros(_np.shape(residuals[9]), dtype=jax.dtypes.float0)
+    return (dx[:n], dwq, dwk, dwv, dw, db, dq, d_mask, d_seed, d_nv)
 
 
 news_encoder.defvjp(_news_encoder_fwd, _news_encoder_bwd)

@@ -123,6 +123,8 @@ def prep_dedup_batch(raw: dict, min_bucket: int = 512,
     out["hist_slot"] = inv[: b * h].reshape(b, h).astype(np.int32)
     out["cand_slot"] = inv[b * h:].reshape(b, k).astype(np.int32)
     out["n_uniq"] = len(uniq)  # host-side stat; dropped before device put
+    # device-side valid count: fused kernels skip blocks past it
+    out["art_n_uniq"] = np.asarray([len(uniq)], np.int32)
     return out
 
 

@@ -269,7 +269,9 @@ class Trainer:
             raw = prep_dedup_batch(raw, self.config.dedup_min_bucket)
             raw.pop("n_uniq", None)
         if self.mesh is not None:
-            raw = shard_batch(raw, self.mesh)
+            # _put replicates the whole-batch dedup side values
+            # (art_n_uniq, emb_*) instead of splitting them over 'data'
+            raw = self._put(raw)
         batch = self.builder(self.tables, raw)
         variables = self.model.init(jax.random.key(self.config.seed), batch, train=False)
         params = variables["params"]
@@ -441,7 +443,8 @@ class Trainer:
             # dedup side-tables are whole-batch values, not per-row data:
             # replicate them instead of splitting over the 'data' axis
             emb = {k: put_replicated(raw.pop(k), self.mesh)
-                   for k in [k for k in raw if k.startswith("emb_")]}
+                   for k in [k for k in raw
+                             if k.startswith("emb_") or k == "art_n_uniq"]}
             out = shard_batch(raw, self.mesh)
             out.update(emb)
             return out
@@ -458,7 +461,9 @@ class Trainer:
         from jax.sharding import PartitionSpec as P
 
         s = NamedSharding(self.mesh, P(None, "data"))
-        return {k: jax.device_put(v, s) for k, v in stacked.items()}
+        rep = NamedSharding(self.mesh, P(None))
+        return {k: jax.device_put(v, rep if k == "art_n_uniq" else s)
+                for k, v in stacked.items()}
 
     def _prefetched(self, items, depth: int):
         """Stage work items ``depth`` ahead on a worker thread so host

@@ -6,7 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from ebnerd_tpu.ops.news_encoder import fused_news_encoder, news_encoder_reference
+from ebnerd_tpu.ops.news_encoder import (fused_news_encoder,
+    news_encoder, news_encoder_reference)
 
 
 def _params(rng, din, d, a):
@@ -161,3 +162,54 @@ def test_bf16_compute_close_to_fp32_reference():
         scale = float(jnp.max(jnp.abs(b_))) + 1e-9
         err = float(jnp.max(jnp.abs(a_.astype(jnp.float32) - b_))) / scale
         assert err < 6e-2, f"bf16 grad rel err {err}"
+
+
+def test_n_valid_block_skip_matches_full_compute():
+    """n_valid (dedup bucket padding): valid rows match the full-compute
+    output exactly, fully-padded blocks emit zeros, and weight/x grads
+    match when the pad rows' cotangent is zero (as slot gathers
+    guarantee)."""
+    import jax
+
+    heads, t, din, d, a = 2, 6, 16, 8, 4
+    n, nv, bn = 24, 13, 4  # blocks 0..3: starts 0,4,8,12 valid; 16,20 skip
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((n, t, din)), jnp.float32)
+    wq, wk, wv = (jnp.asarray(rng.standard_normal((din, d)) * 0.1, jnp.float32)
+                  for _ in range(3))
+    w = jnp.asarray(rng.standard_normal((d, a)) * 0.1, jnp.float32)
+    b = jnp.zeros((a,), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((a, 1)) * 0.1, jnp.float32)
+    dummy = jnp.ones((8, 128), jnp.float32)
+
+    full = news_encoder(x, wq, wk, wv, w, b, q, dummy, None, heads, bn, True)
+    nv_arr = jnp.asarray([nv], jnp.int32)
+    part = news_encoder(x, wq, wk, wv, w, b, q, dummy, None, heads, bn, True,
+                        1.0, "float32", 1.0, nv_arr)
+    # blocks containing any valid row compute fully -> equal through the
+    # boundary block; fully-pad blocks are zero
+    boundary = -(-nv // bn) * bn
+    np.testing.assert_array_equal(np.asarray(part[:boundary]),
+                                  np.asarray(full[:boundary]))
+    np.testing.assert_array_equal(np.asarray(part[boundary:]), 0.0)
+
+    # gradient parity with zero cotangent on pad rows (the dedup
+    # invariant: no slot references a pad article)
+    g = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    g = g.at[nv:].set(0.0)
+
+    def loss_full(x_, wq_, wk_, wv_, w_, q_):
+        out = news_encoder(x_, wq_, wk_, wv_, w_, b, q_, dummy, None,
+                           heads, bn, True)
+        return jnp.sum(out * g)
+
+    def loss_part(x_, wq_, wk_, wv_, w_, q_):
+        out = news_encoder(x_, wq_, wk_, wv_, w_, b, q_, dummy, None,
+                           heads, bn, True, 1.0, "float32", 1.0, nv_arr)
+        return jnp.sum(out * g)
+
+    gf = jax.grad(loss_full, argnums=(0, 1, 2, 3, 4, 5))(x, wq, wk, wv, w, q)
+    gp = jax.grad(loss_part, argnums=(0, 1, 2, 3, 4, 5))(x, wq, wk, wv, w, q)
+    for a_, b_ in zip(gf, gp):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-6)
