@@ -303,8 +303,16 @@ def add_prediction_scores(
     prediction_scores_col: str = "scores",
 ) -> Table:
     """Attach a flat per-candidate score stream back onto the ragged inview
-    structure (reference: _behaviors.py:1024-1089)."""
+    structure (reference: _behaviors.py:1024-1089). Accepts either a flat
+    array of ``inview.total`` scores or a ``Ragged`` (what
+    ``Trainer.score`` returns) whose row lengths must match the inview
+    lists."""
     inview: Ragged = df[inview_col]
+    if isinstance(scores, Ragged):
+        if not np.array_equal(scores.offsets, inview.offsets):
+            raise ValueError(
+                "ragged scores row structure does not match the inview lists")
+        scores = scores.values
     flat = np.asarray(scores, dtype=np.float32).reshape(-1)
     if flat.shape[0] != inview.total:
         raise ValueError(

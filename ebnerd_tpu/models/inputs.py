@@ -37,6 +37,8 @@ def _slots(raw: dict, out: dict) -> dict:
     out["cand_slot"] = raw["cand_slot"]
     if "art_n_uniq" in raw:  # lets fused kernels skip bucket-pad blocks
         out["art_n_uniq"] = raw["art_n_uniq"]
+    if "art_counts" in raw:  # slot-count weights for BN article towers
+        out["art_counts"] = raw["art_counts"]
     return _user(raw, out)
 
 

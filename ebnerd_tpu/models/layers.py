@@ -30,6 +30,13 @@ from flax import linen as nn
 glorot = nn.initializers.glorot_uniform
 zeros = nn.initializers.zeros
 
+
+def _prod(shape) -> int:
+    out = 1
+    for s in shape:
+        out *= int(s)
+    return out
+
 __all__ = [
     "AdditiveAttention",
     "SelfAttention",
@@ -37,8 +44,65 @@ __all__ = [
     "ConvEncoder",
     "MaskedGRU",
     "WordEmbed",
+    "WeightedBatchNorm",
     "compute_token_mask",
 ]
+
+
+class WeightedBatchNorm(nn.Module):
+    """BatchNorm whose train-mode moments weight each LEADING-axis row.
+
+    With ``weights=None`` this is exactly ``nn.BatchNorm`` over all
+    non-feature axes (Keras BatchNormalization semantics, the reference's
+    dense-stack BN, nrms_docvec.py:99-130). With ``weights`` [N] it
+    computes  mean = sum_i w_i x_i / sum_i w_i  (and the matching biased
+    variance), which is what makes unique-article dedup exact for
+    BN article towers: weighting each unique article by its slot
+    multiplicity reproduces the per-slot batch moments EXACTLY, and
+    bucket-pad rows get weight 0 so they never touch the statistics
+    (training/dedup.py). Under a GSPMD mesh the reductions are global,
+    so the equality holds sharded too.
+
+    Parameter/collection layout matches ``nn.BatchNorm`` (params
+    scale/bias, batch_stats mean/var), so checkpoints written by either
+    are interchangeable. Like flax's default (dtype=None), compute is
+    promoted to fp32 and the output stays fp32.
+    """
+
+    use_running_average: bool = False
+    momentum: float = 0.99
+    epsilon: float = 1e-3
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray,
+                 weights: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        feat = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((feat,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((feat,), jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (feat,), jnp.float32)
+        bias = self.param("bias", zeros, (feat,), jnp.float32)
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            red = tuple(range(x.ndim - 1))
+            if weights is None:
+                mean = xf.mean(red)
+                var = jnp.square(xf).mean(red) - jnp.square(mean)
+            else:
+                w = weights.astype(jnp.float32).reshape(
+                    weights.shape[0], *([1] * (x.ndim - 1)))
+                denom = jnp.sum(w) * float(_prod(x.shape[1:-1]))
+                mean = jnp.sum(xf * w, axis=red) / denom
+                var = jnp.sum(jnp.square(xf) * w, axis=red) / denom - jnp.square(mean)
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+                ra_var.value = m * ra_var.value + (1.0 - m) * var
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return y * scale + bias
 
 
 class WordEmbed(nn.Module):

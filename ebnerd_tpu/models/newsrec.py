@@ -49,6 +49,7 @@ from .layers import (
     MaskedGRU,
     PersonalizedAttentivePooling,
     SelfAttention,
+    WeightedBatchNorm,
     WordEmbed,
     glorot,
     zeros,
@@ -108,22 +109,30 @@ class _DenseStack(nn.Module):
     """relu Dense -> BatchNorm -> Dropout blocks (the reference's optional
     ``units_per_layer`` stack, nrms.py:141-155 / nrms_docvec.py:99-130).
     Kernel names start with ``l2_dense`` so the training loss can apply the
-    reference's L2 kernel regularization selectively."""
+    reference's L2 kernel regularization selectively.
+
+    ``weights`` (dedup path, training/dedup.py): per-row slot counts that
+    make the BN batch moments EXACTLY equal the per-slot path's — each
+    unique article contributes with its duplicate multiplicity and
+    bucket-pad rows (weight 0) never touch the statistics."""
 
     units: tuple[int, ...]
     dropout: float
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool,
+                 weights: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         for i, u in enumerate(self.units):
             x = nn.Dense(u, kernel_init=glorot(), bias_init=zeros,
                          dtype=self.dtype, name=f"l2_dense_{i}")(x)
             x = nn.relu(x)
             # epsilon matches Keras BatchNormalization's 1e-3 default (the
             # reference's BN, nrms_docvec.py:126); flax defaults to 1e-5
-            x = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
-                             name=f"bn_{i}")(x)
+            x = WeightedBatchNorm(use_running_average=not train, epsilon=1e-3,
+                                  name=f"bn_{i}")(x, weights=weights)
+            # stays fp32 between BN and the next Dense, like nn.BatchNorm
+            # with dtype=None did; the next Dense casts to self.dtype
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return x
 
@@ -266,10 +275,12 @@ class NRMS(nn.Module):
                             compute, emb_keep, n_valid).astype(self.dtype)
 
     def encode_news(self, tokens: jnp.ndarray, train: bool,
-                    n_valid=None) -> jnp.ndarray:
+                    n_valid=None, weights=None) -> jnp.ndarray:
         """tokens [N, T] -> news vectors [N, head_num*head_dim]
         (reference news encoder, nrms.py:116-159). ``n_valid`` (dedup
-        path) lets the fused kernel skip trailing bucket-pad blocks."""
+        path) lets the fused kernel skip trailing bucket-pad blocks;
+        ``weights`` (dedup + dense stack) are per-article slot counts
+        making the BN moments match the per-slot path exactly."""
         hp = self.hparams
         x = self.embedding(tokens)
         rng_drop = self._rng_dropout_active(train) if self.use_fused_encoder else False
@@ -284,7 +295,7 @@ class NRMS(nn.Module):
                                n_valid=n_valid)
         x = self.news_self_att(x, x, x)
         if hp.newsencoder_units_per_layer:
-            x = self.news_dense(x, train)
+            x = self.news_dense(x, train, weights=weights)
         else:
             x = self.drop(x, deterministic=not train)
         return self.news_pool(x)
@@ -301,7 +312,8 @@ class NRMS(nn.Module):
     def __call__(self, batch: dict, train: bool = False) -> jnp.ndarray:
         if "uniq_tokens" in batch:
             art = self.encode_news(batch["uniq_tokens"], train,
-                                   n_valid=batch.get("art_n_uniq"))
+                                   n_valid=batch.get("art_n_uniq"),
+                                   weights=batch.get("art_counts"))
             hist_vecs, cand_vecs = _dedup_gather(art, batch)
         else:
             hist_vecs, cand_vecs = _encode_both(
@@ -336,8 +348,12 @@ class NRMSDocVec(nn.Module):
                                            transposed=self.transposed_self_att)
         self.user_pool = AdditiveAttention(hp.attention_hidden_dim, dtype=self.dtype)
 
-    def encode_news(self, vecs: jnp.ndarray, train: bool) -> jnp.ndarray:
-        x = self.news_dense(vecs, train)
+    def encode_news(self, vecs: jnp.ndarray, train: bool,
+                    weights=None) -> jnp.ndarray:
+        """``weights`` (dedup path): per-article slot counts so the dense
+        stack's BN moments equal the per-slot path's exactly
+        (layers.WeightedBatchNorm; training/dedup.py)."""
+        x = self.news_dense(vecs, train, weights=weights)
         return nn.relu(self.news_out(x))
 
     def encode_user(self, hist_vecs: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -346,7 +362,8 @@ class NRMSDocVec(nn.Module):
 
     def __call__(self, batch: dict, train: bool = False) -> jnp.ndarray:
         if "uniq_vecs" in batch:
-            art = self.encode_news(batch["uniq_vecs"], train)
+            art = self.encode_news(batch["uniq_vecs"], train,
+                                   weights=batch.get("art_counts"))
             hist_vecs, cand_vecs = _dedup_gather(art, batch)
         else:
             hist_vecs, cand_vecs = _encode_both(

@@ -35,12 +35,47 @@ def save_checkpoint(state, directory, step: Optional[int] = None, force: bool = 
     return path
 
 
+def reshard_like(target, restored):
+    """Re-place restored leaves under the target's shardings (mesh runs
+    only). Orbax brings leaves back COMMITTED to concrete devices; for a
+    mesh-placed state that leaves e.g. the scalar step counter pinned to
+    one device while params span the mesh, which jit rejects as
+    incompatible devices. Mesh-sharded targets get a device_put to their
+    NamedSharding; targets that were uncommitted (the fresh ``jnp.zeros``
+    step) have the committed placement dropped via a host round-trip
+    (cheap — only such leaves are scalars/counters)."""
+    import numpy as np
+    from jax.sharding import NamedSharding
+
+    leaves = jax.tree_util.tree_leaves(target)
+    if not any(isinstance(getattr(l, "sharding", None), NamedSharding)
+               for l in leaves):
+        return restored  # single-device run: no placement conflicts
+
+    def fix(tgt, leaf):
+        tgt_sharding = getattr(tgt, "sharding", None)
+        if isinstance(tgt_sharding, NamedSharding):
+            if (hasattr(leaf, "sharding") and leaf.sharding != tgt_sharding
+                    and getattr(leaf, "is_fully_addressable", True)):
+                return jax.device_put(leaf, tgt_sharding)
+            return leaf
+        if hasattr(leaf, "sharding") and getattr(leaf, "is_fully_addressable", True):
+            import jax.numpy as jnp
+
+            return jnp.asarray(np.asarray(leaf))
+        return leaf
+
+    return jax.tree_util.tree_map(fix, target, restored)
+
+
 def restore_checkpoint(target, directory, step: Optional[int] = None):
     """Restore into the structure of ``target`` (an abstract or concrete
-    TrainState with the right shapes/shardings)."""
+    TrainState with the right shapes/shardings); leaves are re-placed
+    under the target's shardings (see ``reshard_like``)."""
     directory = Path(directory).resolve()
     name = "best" if step is None else f"step_{step}"
-    return _checkpointer().restore(directory / name, target)
+    restored = _checkpointer().restore(directory / name, target)
+    return reshard_like(target, restored)
 
 
 def latest_step(directory) -> Optional[int]:
@@ -69,7 +104,18 @@ class CheckpointManager:
     def __init__(self, directory, keep: int = 3):
         self.directory = Path(directory)
         self.keep = keep
+        # seed from step_<n> dirs already on disk so the keep-bound spans
+        # resumed runs (a fresh manager would otherwise never prune the
+        # previous process's checkpoints)
         self._saved_steps: list[int] = []
+        if self.directory.exists():
+            for p in sorted(self.directory.iterdir()):
+                if p.name.startswith("step_"):
+                    try:
+                        self._saved_steps.append(int(p.name.split("_", 1)[1]))
+                    except ValueError:
+                        pass
+            self._saved_steps.sort()
 
     def save_step(self, state, step: int) -> Path:
         path = save_checkpoint(state, self.directory, step=step)

@@ -34,11 +34,14 @@ unique article per step, shared across its duplicate slots (fewer,
 slightly correlated masks). Convergence parity is pinned by a recorded
 training-parity run (PARITY_TRAIN.json, dedup entry).
 
-Exclusion: models whose ARTICLE tower runs BatchNorm in train mode
-(NRMSDocVec's dense stack; NRMS with ``newsencoder_units_per_layer``)
-cannot dedup — train-mode BN statistics run over the article axis, and
-the deduped axis holds unique articles PLUS bucket-padding rows, which
-would pollute the batch moments (flax BatchNorm has no row mask).
+BatchNorm article towers (NRMSDocVec's dense stack; NRMS with
+``newsencoder_units_per_layer``) dedup via SLOT-COUNT-WEIGHTED batch
+moments: ``prep_dedup_batch`` emits ``art_counts`` (each unique
+article's slot multiplicity; bucket-pad rows 0), and
+layers.WeightedBatchNorm weights each row's contribution by it — which
+reproduces the per-slot BN statistics EXACTLY (pad rows never touch the
+moments). r4 excluded these families because unweighted BN over the
+bucket-padded unique axis deviated badly (loss 3.04 vs 1.29 measured).
 NPA dedups PARTIALLY: the user-personalized word pooling stays
 per-slot, but the user-independent embedding->conv prefix (the
 FLOP-heavy part) runs once per unique article (NPA.__call__).
@@ -59,16 +62,17 @@ __all__ = ["dedup_bucket", "prep_dedup_batch", "pad_dedup_to", "DEDUP_KEYS",
            "dedup_capable"]
 
 # keys prep_dedup_batch adds (consumed by models/inputs.py builders)
-DEDUP_KEYS = ("art_uniq", "hist_slot", "cand_slot")
+DEDUP_KEYS = ("art_uniq", "hist_slot", "cand_slot", "art_counts")
 
 
 def dedup_capable(model) -> tuple[bool, str]:
     """(capable, reason-if-not) for one model instance (see module
-    docstring: train-mode article-tower BatchNorm is excluded; unknown
-    model families are excluded conservatively). NPA is capable via
-    PARTIAL dedup: its embedding->conv prefix is user-independent and
-    dedups, while the personalized pooling stays per-slot
-    (models/newsrec.py NPA.__call__)."""
+    docstring; unknown model families are excluded conservatively). NPA
+    is capable via PARTIAL dedup: its embedding->conv prefix is
+    user-independent and dedups, while the personalized pooling stays
+    per-slot (models/newsrec.py NPA.__call__). BatchNorm article towers
+    (NRMSDocVec, NRMS + dense stack) are capable via slot-count-weighted
+    BN moments (layers.WeightedBatchNorm) — exact per-slot statistics."""
     from ..serving import model_kind
 
     kind = model_kind(model)
@@ -77,12 +81,6 @@ def dedup_capable(model) -> tuple[bool, str]:
             return True, ""
         return False, ("unknown model family: no slot path implemented "
                        "for article dedup")
-    hp = getattr(model, "hparams", None)
-    units = getattr(hp, "newsencoder_units_per_layer", None)
-    if kind in ("nrms_docvec", "nrmsdocvec") or (kind == "nrms" and units):
-        return False, ("article tower runs train-mode BatchNorm; bucket-"
-                       "padded unique-article statistics would deviate "
-                       "(training/dedup.py Exclusion note)")
     return True, ""
 
 
@@ -122,6 +120,10 @@ def prep_dedup_batch(raw: dict, min_bucket: int = 512,
     out["art_uniq"] = uniq_pad
     out["hist_slot"] = inv[: b * h].reshape(b, h).astype(np.int32)
     out["cand_slot"] = inv[b * h:].reshape(b, k).astype(np.int32)
+    # slot multiplicity per unique row (pad rows 0): the weights that make
+    # BatchNorm article towers' batch moments exactly per-slot
+    # (layers.WeightedBatchNorm)
+    out["art_counts"] = np.bincount(inv, minlength=c).astype(np.float32)
     out["n_uniq"] = len(uniq)  # host-side stat; dropped before device put
     # device-side valid count: fused kernels skip blocks past it
     out["art_n_uniq"] = np.asarray([len(uniq)], np.int32)
@@ -140,4 +142,8 @@ def pad_dedup_to(raw: dict, bucket: int) -> dict:
     grown = np.zeros(bucket, np.int32)
     grown[: uniq.shape[0]] = uniq
     out["art_uniq"] = grown
+    if "art_counts" in raw:
+        counts = np.zeros(bucket, np.float32)
+        counts[: uniq.shape[0]] = raw["art_counts"]
+        out["art_counts"] = counts
     return out

@@ -123,9 +123,12 @@ class TrainerConfig:
     # unique article ONCE and gathers vectors back to slots — removing
     # the duplicate-article encoder FLOPs the per-slot path re-spends
     # (>=37% at bench shapes, far more at real article-popularity skew).
-    # "auto" = on whenever the model's news encoder is user-independent
-    # (serving.model_kind — all families but NPA); True forces (errors on
-    # NPA), False always encodes per slot. Dropout note: dedup draws ONE
+    # "auto" = on whenever dedup_capable(model) says so: fully for the
+    # user-independent encoders, PARTIALLY for NPA (its user-independent
+    # embedding->conv prefix dedups; personalized pooling stays per-slot).
+    # True forces (errors only on models whose article tower runs
+    # train-mode BatchNorm without slot weighting, or unknown families);
+    # False always encodes per slot. Dropout note: dedup draws ONE
     # stochastic encode per unique article per step instead of the
     # reference's independent mask per slot (training/dedup.py).
     dedup_articles: Any = "auto"
@@ -148,6 +151,11 @@ class Trainer:
       batch_builder: gathers model inputs from tables + index batch.
       mesh: optional jax.sharding.Mesh for data parallelism.
     """
+
+    # max eval batches in flight (dispatched, result not yet fetched):
+    # keeps the async-dispatch pipelining win while bounding device
+    # residency of queued inputs + score buffers (see score())
+    EVAL_WINDOW = 8
 
     def __init__(
         self,
@@ -437,6 +445,17 @@ class Trainer:
 
     # -- loops ------------------------------------------------------------
 
+    def _fetch(self, dev) -> np.ndarray:
+        """Fetch a (possibly multi-controller globally sharded) device
+        array to host. Under one controller this is a plain copy; across
+        controllers the array is not fully addressable, so every process
+        all-gathers the global value (eval scores are tiny)."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(dev, tiled=True))
+        return np.asarray(dev)
+
     def _put(self, raw: dict) -> dict:
         raw = {k: v for k, v in raw.items() if k not in ("n_valid", "rows", "n_uniq")}
         if self.mesh is not None:
@@ -532,6 +551,7 @@ class Trainer:
             it = itertools.islice(it, steps_per_epoch)
         step0 = int(self.state.step) if (scalar_logger and log_every) else 0
         done_steps = 0
+        last_logged = 0  # scan advances done_steps by scan_steps at a time
         n_scan = self.config.scan_steps
         use_scan = n_scan > 1 and jax.process_count() == 1
 
@@ -573,7 +593,8 @@ class Trainer:
                 losses.append(loss[None])
                 done_steps += 1
             if (scalar_logger is not None and log_every
-                    and done_steps % log_every == 0):
+                    and done_steps - last_logged >= log_every):
+                last_logged = done_steps
                 scalar_logger.log("train/loss_step",
                                   float(losses[-1][-1]), step=step0 + done_steps)
         return losses
@@ -638,8 +659,16 @@ class Trainer:
                 meta = _json.loads(meta_path.read_text())
                 from .checkpoint import restore_checkpoint
 
-                restored = restore_checkpoint(self.state, ckpt_dir,
-                                              step=int(meta["epoch"]))
+                step_dir = _Path(ckpt_dir) / f"step_{int(meta['epoch'])}"
+                if not step_dir.exists():
+                    # meta whose checkpoint was deleted/cleaned: orbax
+                    # restore would raise, so fall back to a fresh start
+                    self.log(f"[trainer] resume: {step_dir.name} missing; "
+                             "starting from scratch")
+                    restored = None
+                else:
+                    restored = restore_checkpoint(self.state, ckpt_dir,
+                                                  step=int(meta["epoch"]))
                 if restored is not None:
                     self.state = restored
                     self._art_cache = None
@@ -701,17 +730,23 @@ class Trainer:
             if mgr is not None:
                 # full-state epoch checkpoint + callback-state metadata;
                 # meta written AFTER the state save so a kill between the
-                # two resumes from the previous consistent pair
+                # two resumes from the previous consistent pair. Every
+                # process participates in the orbax save (multi-controller
+                # coordination), but only process 0 writes the meta file —
+                # on shared checkpoint storage concurrent identical writes
+                # could interleave.
                 mgr.save_step(self.state, epoch)
-                meta_path.write_text(_json.dumps({
-                    "epoch": epoch,
-                    "best_metric": float(best_metric),
-                    "es_wait": es_wait,
-                    "lr_wait": lr_wait,
-                    "lr": lr,
-                    "history": self.history,
-                    "rng": np.asarray(jax.random.key_data(self._rng)).tolist(),
-                }))
+                if jax.process_index() == 0:
+                    meta_path.write_text(_json.dumps({
+                        "epoch": epoch,
+                        "best_metric": float(best_metric),
+                        "es_wait": es_wait,
+                        "lr_wait": lr_wait,
+                        "lr": lr,
+                        "history": self.history,
+                        "rng": np.asarray(
+                            jax.random.key_data(self._rng)).tolist(),
+                    }))
             if scalar_logger is not None:
                 scalar_logger.log_dict(
                     {f"train/{k}" if k == "loss" else f"val/{k}" if k.startswith("val") else f"train/{k}": v
@@ -752,15 +787,24 @@ class Trainer:
         if use_tt:
             return self._score_two_tower(feed)
         out = np.zeros((feed.n_rows, feed.width), np.float32)
-        # dispatch every batch asynchronously, fetch afterwards: a
-        # per-batch np.asarray would serialize (transfer -> compute ->
-        # fetch) round-trips, which dominates on high-latency links
-        pending = []
+        # dispatch batches asynchronously and fetch behind a bounded
+        # window: per-batch np.asarray would serialize (transfer ->
+        # compute -> fetch) round-trips, which dominates on high-latency
+        # links, while an unbounded pending list would pin every batch's
+        # inputs + result buffers in HBM at once (multi-GB on full test
+        # splits with 250-wide beyond-accuracy candidate pools)
+        pending: list = []
+
+        def drain(rows, dev):
+            scores = self._fetch(dev)
+            out[rows, : scores.shape[1]] = scores[: len(rows)]
+
         for raw in feed.batches():
             pending.append((raw["rows"], self._score_step(self.state, self._put(raw))))
+            if len(pending) >= self.EVAL_WINDOW:
+                drain(*pending.pop(0))
         for rows, dev in pending:
-            scores = np.asarray(dev)
-            out[rows, : scores.shape[1]] = scores[: len(rows)]
+            drain(rows, dev)
         return feed.unpad(out)
 
     def _article_index(self) -> jnp.ndarray:
@@ -787,15 +831,24 @@ class Trainer:
         art_vecs = self._article_index()
         art_valid = article_validity(self.tables)
         out = np.zeros((feed.n_rows, feed.width), np.float32)
-        # async dispatch of all batches, then one fetch pass (see score())
-        pending = []
+        # async dispatch behind the same bounded window as score(); eval
+        # batches route through _put so a dp mesh shards them over 'data'
+        # instead of replicating (cand_mask is dropped host-side — _put
+        # strips only the host bookkeeping keys)
+        pending: list = []
+
+        def drain(rows, dev):
+            scores = self._fetch(dev)
+            out[rows, : scores.shape[1]] = scores[: len(rows)]
+
         for raw in feed.batches():
             rows = raw["rows"]
-            raw = {k: v for k, v in raw.items()
-                   if k not in ("n_valid", "rows", "cand_mask")}
+            raw = {k: v for k, v in raw.items() if k != "cand_mask"}
             pending.append(
-                (rows, self._two_tower_step(self.state, art_vecs, art_valid, raw)))
+                (rows, self._two_tower_step(self.state, art_vecs, art_valid,
+                                            self._put(raw))))
+            if len(pending) >= self.EVAL_WINDOW:
+                drain(*pending.pop(0))
         for rows, dev in pending:
-            scores = np.asarray(dev)
-            out[rows, : scores.shape[1]] = scores[: len(rows)]
+            drain(rows, dev)
         return feed.unpad(out)

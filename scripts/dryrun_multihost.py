@@ -9,10 +9,15 @@ Launches the SAME tiny NRMS training job twice:
      (parallel/mesh.shard_batch assembles global arrays from per-process
      shards), row-sharded tables, jit-inserted gradient psum.
 
-and asserts the per-epoch training losses are identical. This exercises
-the real multi-host code path (`parallel/distributed.initialize`,
-`jax.make_array_from_process_local_data`) that production pods use —
-no reference counterpart (the reference is single-process, SURVEY §2.4).
+and asserts the per-epoch training losses are identical, that EVAL
+scoring (two-tower, data-sharded batches, cross-process all-gather
+fetch) returns identical scores, and that a disk checkpoint written by
+the 2-process run RESUMES across both processes (one extra epoch) with
+the same loss as the single-process resume. This exercises the real
+multi-host code path (`parallel/distributed.initialize`,
+`jax.make_array_from_process_local_data`, multi-controller orbax) that
+production pods use — no reference counterpart (the reference is
+single-process, SURVEY §2.4).
 
   python scripts/dryrun_multihost.py            # parent: run + compare
   python scripts/dryrun_multihost.py --worker I --num N --port P --out F
@@ -60,7 +65,7 @@ def run_worker(process_id: int, num_processes: int, port: int,
         ebnerd_from_path,
         sampling_strategy_wu2019,
     )
-    from ebnerd_tpu.data.dataloader import NewsrecFeed
+    from ebnerd_tpu.data.dataloader import EvalFeed, NewsrecFeed
     from ebnerd_tpu.data.lookup import Lookup
     from ebnerd_tpu.data.synthetic import make_synthetic_ebnerd
     from ebnerd_tpu.data.table import read_parquet
@@ -115,13 +120,40 @@ def run_worker(process_id: int, num_processes: int, port: int,
         log_fn=lambda s: None,
     )
     feed = NewsrecFeed(train_df, lookup, history_size=H, batch_size=bs, seed=3)
-    trainer.fit(feed, epochs=EPOCHS, steps_per_epoch=STEPS)
+    ckpt_dir = Path(out_path).parent / "ckpt"
+    trainer.fit(feed, epochs=EPOCHS, steps_per_epoch=STEPS, ckpt_dir=ckpt_dir)
+
+    # eval scoring under the mesh: two-tower path, batches sharded over
+    # 'data' via Trainer._put, results all-gathered across controllers
+    val_df = create_binary_labels_column(df)
+    val_feed = EvalFeed(val_df, lookup, history_size=H, batch_size=bs)
+    scores = trainer.score(val_feed)
+    score_vals = np.asarray(scores.values, np.float64)
+
+    # resume across processes: a FRESH trainer restores the epoch
+    # checkpoint (multi-controller orbax) and trains one more epoch
+    resumed = Trainer(
+        model, {"title": lookup.matrix}, token_batch,
+        TrainerConfig(learning_rate=1e-3, early_stopping_patience=None,
+                      lr_patience=None, seed=0),
+        mesh=mesh,
+        table_specs={"title": P("model")},
+        param_specs={"word_embedding": P("model")},
+        log_fn=lambda s: None,
+    )
+    resumed.fit(feed, epochs=EPOCHS + 1, steps_per_epoch=STEPS,
+                ckpt_dir=ckpt_dir, resume=True)
+    assert resumed.history[:EPOCHS] == trainer.history, "resume lost history"
+
     if process_id == 0:
         result = {
             "process_count": jax.process_count(),
             "global_devices": len(jax.devices()),
             "mesh": dict(zip(mesh.axis_names, mesh.devices.shape)),
             "losses": [h["loss"] for h in trainer.history],
+            "val_scores_mean": float(score_vals.mean()),
+            "val_scores_head": [round(float(x), 6) for x in score_vals[:8]],
+            "resumed_loss": float(resumed.history[-1]["loss"]),
         }
         Path(out_path).write_text(json.dumps(result))
 
@@ -184,9 +216,19 @@ def main() -> None:
 
         np.testing.assert_allclose(ref["losses"], dist["losses"],
                                    rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(ref["val_scores_mean"],
+                                   dist["val_scores_mean"], rtol=1e-5)
+        np.testing.assert_allclose(ref["val_scores_head"],
+                                   dist["val_scores_head"], rtol=1e-4,
+                                   atol=1e-6)
+        np.testing.assert_allclose(ref["resumed_loss"], dist["resumed_loss"],
+                                   rtol=1e-5, atol=1e-6)
         print(f"[dryrun_multihost] ok: 2 processes x 4 devices, "
               f"mesh={dist['mesh']}, {EPOCHS} epochs x {STEPS} steps; "
-              f"losses match single-process run: {dist['losses']}")
+              f"losses match single-process run: {dist['losses']}; "
+              f"val scores match (mean {dist['val_scores_mean']:.6f}); "
+              f"ckpt resume across 2 processes matches "
+              f"(loss {dist['resumed_loss']:.6f})")
 
 
 if __name__ == "__main__":

@@ -28,13 +28,15 @@ import optax
 from ebnerd_tpu.models import config as mcfg
 from ebnerd_tpu.models.fastformer import Fastformer
 from ebnerd_tpu.models.inputs import builder_for
-from ebnerd_tpu.models.newsrec import LSTUR, NAML, NPA, NRMS
+from ebnerd_tpu.models.newsrec import LSTUR, NAML, NPA, NRMS, NRMSDocVec
 
 BS = int(os.environ.get("PM_BS", "512"))
 H, T, K = 20, 30, 5
-STEPS = 10
+STEPS = int(os.environ.get("PM_STEPS", "10"))
 VOCAB, EMB = 250_002, 1_024
-N_ART = 25_001
+# PM_NART=125000 approximates the ebnerd_large catalogue (the reference
+# large split has ~125k articles; BASELINE.json configs[4])
+N_ART = int(os.environ.get("PM_NART", "25001"))
 N_USERS = 50_000
 DTYPE = jnp.bfloat16
 # r4: unique-article dedup (training/dedup.py) + Zipf article popularity,
@@ -92,17 +94,25 @@ def build(name):
         return NAML(mcfg.HParamsNAML(), **common)
     if name == "fastformer":
         return Fastformer(mcfg.HParamsFastformer(), **common)
+    if name == "nrms_docvec":
+        # reproduction config (reference nrms_docvec.py:99-137): 768-d
+        # frozen document vectors, 16x16 heads, dense [512]*3 + BN —
+        # dedup-capable since r5 via slot-count-weighted BN moments
+        return NRMSDocVec(mcfg.HParamsNRMSDocVec(), dtype=DTYPE)
     raise ValueError(name)
 
 
 def main():
-    which = sys.argv[1:] or ["nrms", "lstur", "npa", "naml", "fastformer"]
+    which = sys.argv[1:] or ["nrms", "nrms_docvec", "lstur", "npa", "naml",
+                             "fastformer"]
     r = np.random.default_rng(0)
     tables = {
         "title": jnp.asarray(r.integers(0, VOCAB, (N_ART, T)).astype(np.int32)),
         "body": jnp.asarray(r.integers(0, VOCAB, (N_ART, 40)).astype(np.int32)),
         "cat": jnp.asarray(r.integers(0, 30, N_ART).astype(np.int32)),
         "subcat": jnp.asarray(r.integers(0, 200, N_ART).astype(np.int32)),
+        "docvec": jnp.asarray(
+            r.standard_normal((N_ART, 768)).astype(np.float32)),
     }
     print(f"bs={BS} device={jax.devices()[0]} dtype=bf16")
     for name in which:
@@ -127,12 +137,18 @@ def main():
         batch = builder(tables, raw)
         variables = model.init(jax.random.key(0), batch, train=False)
         params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
         tx = optax.adam(1e-4)
         opt_state = tx.init(params)
 
         def loss_fn(p, rw):
-            logits = model.apply({"params": p}, builder(tables, rw), train=True,
-                                 rngs={"dropout": jax.random.key(1)})
+            vs = {"params": p}
+            if batch_stats:
+                vs["batch_stats"] = batch_stats
+            out = model.apply(vs, builder(tables, rw), train=True,
+                              rngs={"dropout": jax.random.key(1)},
+                              mutable=["batch_stats"] if batch_stats else False)
+            logits = out[0] if batch_stats else out
             logp = jax.nn.log_softmax(logits, -1)
             return -jnp.mean(jnp.sum(labels * logp, -1))
 

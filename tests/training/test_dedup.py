@@ -302,11 +302,10 @@ def test_grads_equivalent_all_families(name, model, builder, with_user):
     params: Adam's m/sqrt(v) normalization blows last-ulp differences on
     near-zero-gradient components up to ~lr).
 
-    NRMSDocVec is excluded from dedup entirely (train-mode BatchNorm in
-    the article tower — bucket-padding rows would pollute the batch
-    moments; see training/dedup.py Exclusion note and the test below)."""
-    if name == "nrms_docvec":
-        pytest.skip("BatchNorm article tower: dedup excluded by design")
+    NRMSDocVec (train-mode BatchNorm article tower) dedups via
+    slot-count-weighted BN moments (layers.WeightedBatchNorm): weighting
+    each unique article by its slot multiplicity reproduces the per-slot
+    statistics exactly, so its gradients must match too."""
     rng = np.random.default_rng(11)
     tables = _tables(rng)
     raw = _batch(np.random.default_rng(12), with_user=with_user)
@@ -348,27 +347,53 @@ def test_grads_equivalent_all_families(name, model, builder, with_user):
                                    err_msg=f"{name} {path}")
 
 
-def test_batchnorm_models_excluded_from_dedup():
-    """Models with train-mode BatchNorm in the article tower must be
-    auto-excluded (bucket-padding rows would pollute the batch moments —
-    observed: loss 3.04 vs 1.29 on a duplicate-free batch), and forcing
-    dedup on them must raise."""
-    _, model, builder, _ = list(_models())[1]  # NRMSDocVec
+def test_batchnorm_models_dedup_with_weighted_moments():
+    """BatchNorm article towers dedup via slot-count-weighted BN moments
+    (layers.WeightedBatchNorm): auto turns dedup ON, and one train step
+    through the dedup path matches the per-slot step — including the
+    updated BN running statistics, which unweighted moments over the
+    bucket-padded unique axis would corrupt (r4 measured loss 3.04 vs
+    1.29 before the weighting existed)."""
+    _, model, builder, _ = list(_models())[1]  # NRMSDocVec (dense stack + BN)
     tables = _tables(np.random.default_rng(21))
     tr = Trainer(model, tables, builder,
                  TrainerConfig(dedup_articles="auto"), log_fn=lambda s: None)
-    assert tr._dedup is False
-    with pytest.raises(ValueError, match="BatchNorm"):
-        Trainer(model, tables, builder,
-                TrainerConfig(dedup_articles=True), log_fn=lambda s: None)
-    # NRMS with a dense stack (BN) is excluded the same way
+    assert tr._dedup is True
+    # NRMS with a dense stack (BN) is auto-capable the same way
     hp = HParamsNRMS(title_size=T, history_size=H, head_num=2, head_dim=8,
                      attention_hidden_dim=16, dropout=0.0,
                      newsencoder_units_per_layer=(12,))
     m2 = NRMS(hp, vocab_size=VOCAB, word_emb_dim=EMB)
     tr2 = Trainer(m2, {"title": tables["title"]}, token_batch,
                   TrainerConfig(dedup_articles="auto"), log_fn=lambda s: None)
-    assert tr2._dedup is False
+    assert tr2._dedup is True
+
+    # one train step, per-slot vs dedup: loss, params AND batch_stats agree
+    raw = _batch(np.random.default_rng(22))
+
+    def one(dedup):
+        cfg = TrainerConfig(learning_rate=1e-2, seed=0, dedup_articles=dedup,
+                            early_stopping_patience=None, lr_patience=None)
+        t = Trainer(model, tables, builder, cfg, log_fn=lambda s: None)
+        t.init_state(dict(raw))
+        r = dict(raw)
+        if dedup:
+            r = prep_dedup_batch(r, 8)
+        key = jax.random.key(0, impl=cfg.rng_impl)
+        t.state, loss = t._train_step(t.state, t._put(r), key)
+        return float(loss), t.state
+
+    loss_p, state_p = one(False)
+    loss_d, state_d = one(True)
+    assert np.isclose(loss_p, loss_d, rtol=1e-5)
+    flat_d = dict(jax.tree_util.tree_leaves_with_path(state_d.batch_stats))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(state_p.batch_stats):
+        np.testing.assert_allclose(np.asarray(leaf), np.asarray(flat_d[path]),
+                                   rtol=1e-5, atol=1e-6, err_msg=str(path))
+    flat_dp = dict(jax.tree_util.tree_leaves_with_path(state_d.params))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(state_p.params):
+        np.testing.assert_allclose(np.asarray(leaf), np.asarray(flat_dp[path]),
+                                   rtol=1e-3, atol=2e-5, err_msg=str(path))
 
 
 def test_fastformer_grads_equivalent():
