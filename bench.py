@@ -159,16 +159,19 @@ def main() -> None:
 
     # batch-size scaling re-measured r4 with dedup (30 steps, stock env):
     # bs1024 14,092 imp/s (72.7 ms) / bs2048 19,933 (102.7) / bs4096
-    # 26,160 (156.6) / bs8192 41,101 (199.3, 9.1% unique — the unique
-    # count saturates toward the 25k catalogue, the regime the two-tower
-    # eval already lives in). The dedup fraction improves with batch
-    # (23.9% -> 9.1% unique), so scaling is super-linear. Default 4096:
-    # 7.5x the analytic A100 estimate at a 157 ms step, a batch size
-    # still in normal large-batch training practice; bs8192 is recorded
-    # as the scaling peak (convergence at such batch sizes is a training
-    # -recipe question the bench does not claim to answer). r3 per-slot
-    # history: bs512 4,014 / bs1024 4,484 / bs2048 4,425.
-    bs = int(os.environ.get("BENCH_BS", "4096"))
+    # 26,160 (156.6) / bs8192 41,973 (195.2 with the n_valid skip; 9.1%
+    # unique — the count saturates toward the 25k catalogue, the regime
+    # REAL traffic occupies: the reference's vendored behaviors fixture
+    # measures 5.4% unique at bs1024, BASELINE.md anchor). The dedup
+    # fraction improves with batch, so scaling is super-linear.
+    # Default 8192 (r5): the training recipe at this batch is pinned by
+    # on-chip parity runs — sqrt-scaled LR (1e-4 * sqrt(bs/64)) reaches
+    # reference accuracy at bs8192 on the synthetic topic-signal split
+    # (PARITY_TRAIN.json nrms_fused_bf16_bs8192, seeds 42/7: 0.8976 /
+    # 0.8999 vs reference; plain lr does NOT converge — see
+    # docs/performance.md "Large-batch recipe"). r3 per-slot history:
+    # bs512 4,014 / bs1024 4,484 / bs2048 4,425.
+    bs = int(os.environ.get("BENCH_BS", "8192"))
     steps = int(os.environ.get("BENCH_STEPS", "30"))
     warmup = int(os.environ.get("BENCH_WARMUP", "5"))
     # bf16 compute (fp32 params) is the TPU-native default; measured AUC

@@ -83,6 +83,20 @@ def _dot_scores(news: jnp.ndarray, user: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("bkd,bd->bk", news, user)
 
 
+def _maybe_remat(module, method, enabled: bool, n_array_args: int):
+    """``jax.checkpoint`` (rematerialization) around an article-encoder
+    method: the backward recomputes the encoder's forward instead of
+    storing its per-token intermediates (embeddings, conv activations,
+    dropout masks — the HBM-dominant residuals at large batch x large
+    catalogue; an ebnerd_large NAML step at bs4096 otherwise exceeds a
+    v5e's 16 GB). FLOPs-for-memory, numerics unchanged. ``method`` takes
+    (module, *n_array_args arrays, train); train is static."""
+    if not enabled:
+        return lambda *args: method(module, *args)
+    return lambda *args: nn.remat(
+        method, static_argnums=(n_array_args + 1,))(module, *args)
+
+
 def _dedup_gather(art_vecs: jnp.ndarray, batch: dict):
     """Deduped-batch path (training/dedup.py): [C, D] unique-article
     vectors -> ([B, H, D], [B, K, D]) via slot gathers. The backward of
@@ -382,6 +396,8 @@ class LSTUR(nn.Module):
     word_emb_dim: int = 300
     word_emb_init: Optional[Callable] = None
     dtype: jnp.dtype = jnp.float32
+    # rematerialize the article encoder in the backward (see _maybe_remat)
+    remat_encoder: bool = False
 
     def setup(self):
         hp = self.hparams
@@ -433,14 +449,16 @@ class LSTUR(nn.Module):
         raise ValueError(f"unknown LSTUR type: {hp.type}")
 
     def __call__(self, batch: dict, train: bool = False) -> jnp.ndarray:
+        encode = _maybe_remat(self, type(self).encode_news,
+                              self.remat_encoder, 1)
         if "uniq_tokens" in batch:
-            art = self.encode_news(batch["uniq_tokens"], train)
+            art = encode(batch["uniq_tokens"], train)
             hist_vecs, cand_vecs = _dedup_gather(art, batch)
             art_mask = (batch["uniq_tokens"] != 0).any(-1)
             hist_mask = art_mask[batch["hist_slot"]].astype(self.dtype)
         else:
             hist_vecs, cand_vecs = _encode_both(
-                lambda x: self.encode_news(x, train),
+                lambda x: encode(x, train),
                 batch["hist_tokens"], batch["cand_tokens"])
             hist_mask = (batch["hist_tokens"] != 0).any(-1).astype(self.dtype)
         user = self.encode_user(hist_vecs, hist_mask, batch["user_id"], train)
@@ -456,6 +474,9 @@ class NPA(nn.Module):
     word_emb_dim: int = 300
     word_emb_init: Optional[Callable] = None
     dtype: jnp.dtype = jnp.float32
+    # rematerialize the embedding->conv prefix in the backward
+    # (see _maybe_remat)
+    remat_encoder: bool = False
 
     def setup(self):
         hp = self.hparams
@@ -482,14 +503,19 @@ class NPA(nn.Module):
             hp.attention_hidden_dim, hp.dropout, dtype=self.dtype
         )
 
-    def encode_news(self, tokens: jnp.ndarray, user_emb: jnp.ndarray, train: bool) -> jnp.ndarray:
-        """tokens [N, T], user_emb [N, U] -> [N, filter_num]
-        (npa.py:107-153)."""
-        hp = self.hparams
+    def conv_prefix(self, tokens: jnp.ndarray, train: bool) -> jnp.ndarray:
+        """User-independent embedding -> conv prefix [N, T, filter_num]
+        (the dedupable ~94% of the encoder FLOPs)."""
         x = self.embedding(tokens)
         x = self.drop(x, deterministic=not train)
         x = self.conv(x)
-        x = self.drop(x, deterministic=not train)
+        return self.drop(x, deterministic=not train)
+
+    def encode_news(self, tokens: jnp.ndarray, user_emb: jnp.ndarray, train: bool) -> jnp.ndarray:
+        """tokens [N, T], user_emb [N, U] -> [N, filter_num]
+        (npa.py:107-153)."""
+        x = _maybe_remat(self, type(self).conv_prefix,
+                         self.remat_encoder, 1)(tokens, train)
         return self.word_pool(x, self.word_query(user_emb), train)
 
     def __call__(self, batch: dict, train: bool = False) -> jnp.ndarray:
@@ -502,10 +528,9 @@ class NPA(nn.Module):
             # conv activations are gathered back to slots and pooled
             # per (impression, slot) with that impression's user query —
             # identical math to the per-slot path in eval mode.
-            x = self.embedding(batch["uniq_tokens"])
-            x = self.drop(x, deterministic=not train)
-            x = self.conv(x)
-            x = self.drop(x, deterministic=not train)        # [C, T, F]
+            x = _maybe_remat(self, type(self).conv_prefix,
+                             self.remat_encoder, 1)(
+                batch["uniq_tokens"], train)                 # [C, T, F]
             hist_y = x[batch["hist_slot"]]                   # [B, H, T, F]
             cand_y = x[batch["cand_slot"]]                   # [B, K, T, F]
             (b, h), k = hist_y.shape[:2], cand_y.shape[1]
@@ -539,6 +564,11 @@ class NAML(nn.Module):
     word_emb_dim: int = 300
     word_emb_init: Optional[Callable] = None
     dtype: jnp.dtype = jnp.float32
+    # rematerialize the 4-view article encoder in the backward (see
+    # _maybe_remat): REQUIRED for ebnerd_large-scale batches — the
+    # stored title+body per-token intermediates otherwise exceed a
+    # v5e's 16 GB at bs4096 x 125k articles (scripts/bench_large.py)
+    remat_encoder: bool = False
 
     def setup(self):
         hp = self.hparams
@@ -581,9 +611,11 @@ class NAML(nn.Module):
         return self.view_pool(views)
 
     def __call__(self, batch: dict, train: bool = False) -> jnp.ndarray:
+        encode = _maybe_remat(self, type(self).encode_news,
+                              self.remat_encoder, 4)
         if "uniq_tokens" in batch:
-            art = self.encode_news(batch["uniq_tokens"], batch["uniq_body"],
-                                   batch["uniq_cat"], batch["uniq_subcat"], train)
+            art = encode(batch["uniq_tokens"], batch["uniq_body"],
+                         batch["uniq_cat"], batch["uniq_subcat"], train)
             hist_vecs, cand_vecs = _dedup_gather(art, batch)
             user = self.user_pool(hist_vecs)
             return _dot_scores(cand_vecs, user)
@@ -597,8 +629,8 @@ class NAML(nn.Module):
             return jnp.concatenate(
                 [x.reshape(b * h, *x.shape[2:]), y.reshape(b * k, *y.shape[2:])])
 
-        vecs = self.encode_news(both("tokens"), both("body"),
-                                both("cat"), both("subcat"), train)
+        vecs = encode(both("tokens"), both("body"),
+                      both("cat"), both("subcat"), train)
         hist_vecs = vecs[: b * h].reshape(b, h, -1)
         cand_vecs = vecs[b * h :].reshape(b, k, -1)
         user = self.user_pool(hist_vecs)

@@ -63,8 +63,13 @@ def main() -> None:
             cat=r.integers(0, 30, N_ART + 1).astype(np.int32),
             subcat=r.integers(0, 200, N_ART + 1).astype(np.int32),
         )
+        # remat_encoder: without it the stored title+body per-token
+        # intermediates exceed the v5e's 16 GB at bs4096 x 125k articles
+        # (first run: "Used 15.90G of 15.75G hbm", biggest allocations =
+        # [24k,70,1024] embeds + conv temps + dropout masks)
         model = NAML(mcfg.HParamsNAML(), vocab_size=VOCAB, word_emb_dim=EMB,
-                     dtype=jnp.bfloat16)
+                     dtype=jnp.bfloat16,
+                     remat_encoder=os.environ.get("BL_REMAT", "1") != "0")
     else:
         model = NRMS(mcfg.HParamsNRMS(), vocab_size=VOCAB, word_emb_dim=EMB,
                      dtype=jnp.bfloat16, use_fused_encoder=True)

@@ -138,7 +138,14 @@ def _merge(update: dict) -> None:
 
 
 def run_reference() -> None:
-    """Reference TF/Keras NRMS on the same split (CPU; its own numerics)."""
+    """Reference TF/Keras NRMS on the same split (CPU; its own numerics).
+
+    Resumable: TF on this host has died silently mid-run twice (native
+    crash, no traceback, no OOM), so weights are saved after every epoch
+    and a restart continues from the last completed epoch + the curve
+    already merged into PARITY_TRAIN.json. (A restart resets Adam
+    moments at the epoch boundary — noted in the entry config; the
+    comparator is the reference's own training either way.)"""
     # the sitecustomize's remote-TPU plugin overrides JAX_PLATFORMS via
     # jax.config at interpreter start; re-force CPU the same way so the
     # auc helper never grabs the chip (tests/conftest.py does the same)
@@ -160,8 +167,22 @@ def run_reference() -> None:
     his, cand = tokens[th], tokens[tc]
     vhis, vcand = tokens[vh], tokens[vc]
     aucs = []
-    for ep in range(REF_EPOCHS):
+    wdir = Path("/tmp/r5logs")
+    wdir.mkdir(exist_ok=True)
+    if OUT.exists():  # resume from the last completed epoch
+        prev = json.loads(OUT.read_text()).get("headline_reference", {})
+        aucs = [float(x) for x in prev.get("val_auc", [])]
+    start = len(aucs)
+    if start:
+        wpath = wdir / f"ref_ep{start - 1}.weights.h5"
+        if wpath.exists():
+            model.model.load_weights(str(wpath))
+            print(f"[ref] resumed from epoch {start - 1} weights", flush=True)
+        else:
+            aucs, start = [], 0  # no weights: start over
+    for ep in range(start, REF_EPOCHS):
         model.model.fit((his, cand), ty, batch_size=REF_BS, epochs=1, verbose=0)
+        model.model.save_weights(str(wdir / f"ref_ep{ep}.weights.h5"))
         probs = model.model.predict([vhis, vcand], verbose=0, batch_size=256)
         aucs.append(auc_from_probs(probs, vy))
         print(f"[ref] epoch {ep}: val AUC {aucs[-1]:.4f} "
