@@ -565,10 +565,20 @@ class NAML(nn.Module):
     word_emb_init: Optional[Callable] = None
     dtype: jnp.dtype = jnp.float32
     # rematerialize the 4-view article encoder in the backward (see
-    # _maybe_remat): REQUIRED for ebnerd_large-scale batches — the
-    # stored title+body per-token intermediates otherwise exceed a
-    # v5e's 16 GB at bs4096 x 125k articles (scripts/bench_large.py)
+    # _maybe_remat). For ebnerd_large-scale batches remat ALONE is not
+    # enough: the single rematted block still materializes every
+    # per-token intermediate at once during the backward recompute
+    # (measured 15.9 GB at bs4096 x 125k articles) — combine with
+    # encode_chunks.
     remat_encoder: bool = False
+    # dedup path only: encode the unique-article axis in N sequential
+    # chunks (lax.scan of rematted chunks; params broadcast, dropout rng
+    # split per chunk). Peak encoder HBM scales ~1/N while weight grads
+    # accumulate across chunks — the jax.checkpoint-over-scan pattern
+    # that makes catalogue-scale batches fit (scripts/bench_large.py).
+    # C (the dedup bucket) must divide by it; buckets are multiples of
+    # 256 (training/dedup.py), so any power of two <= 256 works.
+    encode_chunks: int = 1
 
     def setup(self):
         hp = self.hparams
@@ -610,12 +620,37 @@ class NAML(nn.Module):
         views = jnp.stack([title_r, body_r, vert_r, subvert_r], axis=-2)  # [N, 4, F]
         return self.view_pool(views)
 
+    def _encode_chunked(self, title, body, vert, subvert, train: bool):
+        """Encode the unique-article axis in ``encode_chunks`` sequential
+        chunks via nn.scan, each chunk rematted when ``remat_encoder``:
+        peak per-token HBM drops ~1/N (see the attribute comments)."""
+        n = self.encode_chunks
+        c = title.shape[0]
+        if c % n:
+            raise ValueError(f"encode_chunks={n} must divide C={c}")
+
+        def body_fn(mdl, carry, xs):
+            t, b, v, s = xs
+            return carry, mdl.encode_news(t, b, v, s, train)
+
+        if self.remat_encoder:
+            body_fn = nn.remat(body_fn, prevent_cse=False)
+        scan = nn.scan(body_fn, variable_broadcast="params",
+                       split_rngs={"params": False, "dropout": True},
+                       in_axes=0, out_axes=0)
+        xs = tuple(x.reshape(n, c // n, *x.shape[1:])
+                   for x in (title, body, vert, subvert))
+        _, ys = scan(self, (), xs)
+        return ys.reshape(c, ys.shape[-1])
+
     def __call__(self, batch: dict, train: bool = False) -> jnp.ndarray:
         encode = _maybe_remat(self, type(self).encode_news,
                               self.remat_encoder, 4)
         if "uniq_tokens" in batch:
-            art = encode(batch["uniq_tokens"], batch["uniq_body"],
-                         batch["uniq_cat"], batch["uniq_subcat"], train)
+            args = (batch["uniq_tokens"], batch["uniq_body"],
+                    batch["uniq_cat"], batch["uniq_subcat"], train)
+            art = (self._encode_chunked(*args) if self.encode_chunks > 1
+                   else encode(*args))
             hist_vecs, cand_vecs = _dedup_gather(art, batch)
             user = self.user_pool(hist_vecs)
             return _dot_scores(cand_vecs, user)

@@ -63,13 +63,16 @@ def main() -> None:
             cat=r.integers(0, 30, N_ART + 1).astype(np.int32),
             subcat=r.integers(0, 200, N_ART + 1).astype(np.int32),
         )
-        # remat_encoder: without it the stored title+body per-token
+        # remat + chunked encode: without them the title+body per-token
         # intermediates exceed the v5e's 16 GB at bs4096 x 125k articles
-        # (first run: "Used 15.90G of 15.75G hbm", biggest allocations =
-        # [24k,70,1024] embeds + conv temps + dropout masks)
+        # (measured 15.90G plain and 15.92G with remat alone — one
+        # rematted block still materializes everything during the
+        # backward recompute; chunking the unique-article axis bounds
+        # the peak to ~1/N of it, models/newsrec.py NAML.encode_chunks)
         model = NAML(mcfg.HParamsNAML(), vocab_size=VOCAB, word_emb_dim=EMB,
                      dtype=jnp.bfloat16,
-                     remat_encoder=os.environ.get("BL_REMAT", "1") != "0")
+                     remat_encoder=os.environ.get("BL_REMAT", "1") != "0",
+                     encode_chunks=int(os.environ.get("BL_CHUNKS", "8")))
     else:
         model = NRMS(mcfg.HParamsNRMS(), vocab_size=VOCAB, word_emb_dim=EMB,
                      dtype=jnp.bfloat16, use_fused_encoder=True)

@@ -399,12 +399,12 @@ def main() -> None:
         "measured_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
     }
     out = REPO / "PARITY_TRAIN.json"
-    if out.exists():  # preserve entries not rerun this invocation
-        try:
+    if out.exists():  # preserve ALL existing entries not rerun this
+        try:  # invocation (incl. parity_headline.py's headline_* keys)
             prev = json.loads(out.read_text())
-            for k in ("nrms", "nrms_docvec", "nrms_dedup"):
-                if k in prev:
-                    result[k] = prev[k]
+            for k, v in prev.items():
+                if k not in ("hardware", "measured_at", "wall_seconds"):
+                    result[k] = v
         except Exception:  # noqa: BLE001
             pass
 

@@ -87,3 +87,43 @@ def test_remat_matches_no_remat(name, make, builder, with_user, dedup):
         np.testing.assert_allclose(np.asarray(leaf), np.asarray(flat_b[path]),
                                    rtol=1e-5, atol=1e-7,
                                    err_msg=f"{name} {path}")
+
+
+def test_naml_chunked_encode_matches_plain():
+    """NAML.encode_chunks (nn.scan of rematted chunks over the
+    unique-article axis — the ebnerd_large memory lever) is a scheduling
+    change only: with dropout off, loss and grads equal the unchunked
+    model's. Dropout-on draws per-chunk rng splits (a different, still
+    valid stream), so the equality case pins dropout=0."""
+    rng = np.random.default_rng(7)
+    tables = _tables(rng)
+    raw = _raw(np.random.default_rng(8))
+    raw = prep_dedup_batch(raw, 8)
+    raw.pop("n_uniq")
+    batch = naml_batch(tables, {k: jnp.asarray(v) for k, v in raw.items()})
+    labels = jnp.asarray(raw["labels"])
+    hp = HParamsNAML(title_size=T, body_size=T + 2, history_size=H,
+                     filter_num=12, window_size=3, attention_hidden_dim=16,
+                     vert_num=5, subvert_num=9, dropout=0.0)
+    c = batch["uniq_tokens"].shape[0]
+    chunks = 4 if c % 4 == 0 else 2
+
+    def loss_and_grads(**kw):
+        model = NAML(hp, vocab_size=VOCAB, word_emb_dim=EMB, **kw)
+        variables = model.init(jax.random.key(0), batch, train=False)
+
+        def loss_of(p):
+            logits = model.apply({"params": p}, batch, train=True,
+                                 rngs={"dropout": jax.random.key(1)})
+            logp = jax.nn.log_softmax(logits, -1)
+            return -jnp.mean(jnp.sum(labels * logp, -1))
+
+        return jax.value_and_grad(loss_of)(variables["params"])
+
+    loss_a, g_a = loss_and_grads()
+    loss_b, g_b = loss_and_grads(encode_chunks=chunks, remat_encoder=True)
+    np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-6)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(g_b))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(g_a):
+        np.testing.assert_allclose(np.asarray(leaf), np.asarray(flat_b[path]),
+                                   rtol=1e-5, atol=1e-7, err_msg=str(path))
