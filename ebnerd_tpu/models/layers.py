@@ -45,8 +45,32 @@ __all__ = [
     "MaskedGRU",
     "WordEmbed",
     "WeightedBatchNorm",
+    "PrngDropout",
     "compute_token_mask",
 ]
+
+
+class PrngDropout(nn.Module):
+    """Drop-in ``nn.Dropout`` whose masks come from the seed-recompute
+    Pallas PRNG kernel (ops/dropout.py) on TPU — no rng-bit tensors, no
+    stored masks, fusion-friendly. Measured: framework dropout costs the
+    conv families ~40% of their bs4096 train step (NPA 330->179 ms with
+    dropout off); this recovers most of it. Off-TPU it transparently
+    falls back to a jax.random mask (different deterministic stream —
+    the same deviation class as NRMS's ``fused_rng_dropout``)."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
+        if deterministic or self.rate == 0.0:
+            return x
+        from ..ops.dropout import prng_dropout
+
+        seed = jax.random.randint(self.make_rng("dropout"), (1,), 0,
+                                  jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+        use_kernel = jax.default_backend() == "tpu"
+        return prng_dropout(x, seed, 1.0 - self.rate, use_kernel)
 
 
 class WeightedBatchNorm(nn.Module):
@@ -226,12 +250,18 @@ class PersonalizedAttentivePooling(nn.Module):
     attention_dim: int
     dropout: float = 0.2
     dtype: jnp.dtype = jnp.float32
+    # value-dropout via the seed-recompute PRNG kernel (PrngDropout) —
+    # NPA's per-slot value tensor is the largest dropout target in the
+    # framework ([B*(H+K), T, F])
+    prng_dropout: bool = False
 
     @nn.compact
     def __call__(
         self, values: jnp.ndarray, query: jnp.ndarray, train: bool = False
     ) -> jnp.ndarray:
-        values = nn.Dropout(self.dropout, deterministic=not train)(values)
+        drop = (PrngDropout(self.dropout) if self.prng_dropout
+                else nn.Dropout(self.dropout))
+        values = drop(values, deterministic=not train)
         proj = nn.Dense(
             self.attention_dim,
             kernel_init=glorot(),

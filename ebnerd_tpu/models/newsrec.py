@@ -48,6 +48,7 @@ from .layers import (
     ConvEncoder,
     MaskedGRU,
     PersonalizedAttentivePooling,
+    PrngDropout,
     SelfAttention,
     WeightedBatchNorm,
     WordEmbed,
@@ -398,10 +399,14 @@ class LSTUR(nn.Module):
     dtype: jnp.dtype = jnp.float32
     # rematerialize the article encoder in the backward (see _maybe_remat)
     remat_encoder: bool = False
+    # seed-recompute PRNG dropout kernel (layers.PrngDropout): measured
+    # ~40% of the conv families' bs4096 step is framework dropout
+    prng_dropout: bool = False
 
     def setup(self):
         hp = self.hparams
-        self.drop = nn.Dropout(hp.dropout)
+        self.drop = (PrngDropout(hp.dropout) if self.prng_dropout
+                     else nn.Dropout(hp.dropout))
         self.embedding = WordEmbed(
             self.vocab_size, self.word_emb_dim,
             embedding_init=self.word_emb_init or glorot(),
@@ -477,10 +482,15 @@ class NPA(nn.Module):
     # rematerialize the embedding->conv prefix in the backward
     # (see _maybe_remat)
     remat_encoder: bool = False
+    # seed-recompute PRNG dropout kernel (layers.PrngDropout), applied to
+    # the conv prefix AND the personalized poolings' value dropout (the
+    # largest dropout target in the framework, [B*(H+K), T, F])
+    prng_dropout: bool = False
 
     def setup(self):
         hp = self.hparams
-        self.drop = nn.Dropout(hp.dropout)
+        self.drop = (PrngDropout(hp.dropout) if self.prng_dropout
+                     else nn.Dropout(hp.dropout))
         self.embedding = WordEmbed(
             self.vocab_size, self.word_emb_dim,
             embedding_init=self.word_emb_init or glorot(),
@@ -497,10 +507,12 @@ class NPA(nn.Module):
         self.news_query = nn.Dense(hp.attention_hidden_dim, kernel_init=glorot(),
                                    bias_init=zeros, dtype=self.dtype, name="news_query")
         self.word_pool = PersonalizedAttentivePooling(
-            hp.attention_hidden_dim, hp.dropout, dtype=self.dtype
+            hp.attention_hidden_dim, hp.dropout, dtype=self.dtype,
+            prng_dropout=self.prng_dropout,
         )
         self.news_pool = PersonalizedAttentivePooling(
-            hp.attention_hidden_dim, hp.dropout, dtype=self.dtype
+            hp.attention_hidden_dim, hp.dropout, dtype=self.dtype,
+            prng_dropout=self.prng_dropout,
         )
 
     def conv_prefix(self, tokens: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -579,10 +591,15 @@ class NAML(nn.Module):
     # C (the dedup bucket) must divide by it; buckets are multiples of
     # 256 (training/dedup.py), so any power of two <= 256 works.
     encode_chunks: int = 1
+    # seed-recompute PRNG dropout kernel (layers.PrngDropout): the
+    # title+body embed-dropout masks are the framework's biggest
+    # ([C, 70, 1024] at bench shapes)
+    prng_dropout: bool = False
 
     def setup(self):
         hp = self.hparams
-        self.drop = nn.Dropout(hp.dropout)
+        self.drop = (PrngDropout(hp.dropout) if self.prng_dropout
+                     else nn.Dropout(hp.dropout))
         self.embedding = WordEmbed(
             self.vocab_size, self.word_emb_dim,
             embedding_init=self.word_emb_init or glorot(),

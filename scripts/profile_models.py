@@ -44,6 +44,13 @@ DTYPE = jnp.bfloat16
 # the per-slot baseline. NPA dedups PARTIALLY (conv prefix only).
 PM_DEDUP = os.environ.get("PM_DEDUP", "1") != "0"
 PM_ART = os.environ.get("PM_ART_DIST", "zipf")
+# PM_DROPOUT=0 isolates dropout-mask generation/apply cost (e.g. NPA's
+# per-slot personalized pooling draws masks over [B*(H+K), T, F])
+PM_DROPOUT = float(os.environ.get("PM_DROPOUT", "0.2"))
+# PM_REMAT=1 enables remat_encoder on the conv families (NAML/LSTUR/NPA)
+PM_REMAT = os.environ.get("PM_REMAT", "0") != "0"
+# PM_PRNGDROP=1 enables the seed-recompute PRNG dropout kernel
+PM_PRNGDROP = os.environ.get("PM_PRNGDROP", "0") != "0"
 
 
 def _draw(r, shape):
@@ -84,16 +91,20 @@ def timed(fn, *args):
 
 def build(name):
     common = dict(vocab_size=VOCAB, word_emb_dim=EMB, dtype=DTYPE)
+    dp = dict(dropout=PM_DROPOUT)
     if name == "nrms":
-        return NRMS(mcfg.HParamsNRMS(), **common)
+        return NRMS(mcfg.HParamsNRMS(**dp), **common)
     if name == "lstur":
-        return LSTUR(mcfg.HParamsLSTUR(n_users=N_USERS), **common)
+        return LSTUR(mcfg.HParamsLSTUR(n_users=N_USERS, **dp), **common,
+                     remat_encoder=PM_REMAT, prng_dropout=PM_PRNGDROP)
     if name == "npa":
-        return NPA(mcfg.HParamsNPA(n_users=N_USERS), **common)
+        return NPA(mcfg.HParamsNPA(n_users=N_USERS, **dp), **common,
+                   remat_encoder=PM_REMAT, prng_dropout=PM_PRNGDROP)
     if name == "naml":
-        return NAML(mcfg.HParamsNAML(), **common)
+        return NAML(mcfg.HParamsNAML(**dp), **common, remat_encoder=PM_REMAT,
+                    prng_dropout=PM_PRNGDROP)
     if name == "fastformer":
-        return Fastformer(mcfg.HParamsFastformer(), **common)
+        return Fastformer(mcfg.HParamsFastformer(**dp), **common)
     if name == "nrms_docvec":
         # reproduction config (reference nrms_docvec.py:99-137): 768-d
         # frozen document vectors, 16x16 heads, dense [512]*3 + BN —
