@@ -91,6 +91,17 @@ def get_args(argv=None):
                    help="host-deduped row-sparse word-embedding updates "
                         "(LazyAdam-style row-sparse semantics — a deliberate "
                         "deviation; training/sparse_embed.py)")
+    p.add_argument("--prng_dropout", action="store_true",
+                   help="seed-recompute PRNG dropout kernel for the conv "
+                        "families (+11%% NAML/LSTUR at bs4096; measured "
+                        "slightly negative for NPA - see "
+                        "docs/performance.md)")
+    p.add_argument("--remat_encoder", action="store_true",
+                   help="rematerialize the article encoder (memory lever "
+                        "for catalogue-scale batches)")
+    p.add_argument("--encode_chunks", type=int, default=1,
+                   help="NAML: encode unique articles in N scan chunks "
+                        "(with --remat_encoder bounds encoder HBM ~1/N)")
     p.add_argument("--use_fused_encoder", action="store_true",
                    help="pallas fused attention+pooling kernels (nrms only)")
     p.add_argument("--no_two_tower_eval", action="store_true",
@@ -196,11 +207,18 @@ def build_model(args, vocab_size, word_emb_dim, word2vec, n_users):
         )
         return NRMSDocVec(hp, dtype=dtype)
     if args.model == "lstur":
-        return LSTUR(mcfg.HParamsLSTUR(**base, n_users=n_users), **common)
+        return LSTUR(mcfg.HParamsLSTUR(**base, n_users=n_users), **common,
+                     prng_dropout=args.prng_dropout,
+                     remat_encoder=args.remat_encoder)
     if args.model == "npa":
-        return NPA(mcfg.HParamsNPA(**base, n_users=n_users), **common)
+        return NPA(mcfg.HParamsNPA(**base, n_users=n_users), **common,
+                   prng_dropout=args.prng_dropout,
+                   remat_encoder=args.remat_encoder)
     if args.model == "naml":
-        return NAML(mcfg.HParamsNAML(**base), **common)
+        return NAML(mcfg.HParamsNAML(**base), **common,
+                    prng_dropout=args.prng_dropout,
+                    remat_encoder=args.remat_encoder,
+                    encode_chunks=args.encode_chunks)
     if args.model == "fastformer":
         hp = mcfg.HParamsFastformer(history_size=args.history_size,
                                     title_size=args.max_title_length,
