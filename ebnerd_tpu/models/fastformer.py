@@ -31,7 +31,7 @@ import numpy as np
 from flax import linen as nn
 
 from .config import HParamsFastformer
-from .layers import AdditiveAttention, WordEmbed, glorot, zeros
+from .layers import AdditiveAttention, PrngDropout, WordEmbed, glorot, zeros
 
 __all__ = ["Fastformer", "FastformerWu", "FastSelfAttention", "FastformerLayer"]
 
@@ -92,12 +92,15 @@ class _SelfOutput(nn.Module):
     dim: int
     dropout: float
     dtype: jnp.dtype = jnp.float32
+    prng_dropout: bool = False  # seed-recompute kernel (layers.PrngDropout)
 
     @nn.compact
     def __call__(self, x, residual, train: bool):
         x = nn.Dense(self.dim, kernel_init=_normal(), bias_init=zeros,
                      dtype=self.dtype)(x)
-        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        drop = (PrngDropout(self.dropout) if self.prng_dropout
+                else nn.Dropout(self.dropout))
+        x = drop(x, deterministic=not train)
         return nn.LayerNorm(epsilon=1e-12)(x + residual)
 
 
@@ -110,6 +113,7 @@ class FastformerLayer(nn.Module):
     intermediate_dim: int
     dropout: float
     dtype: jnp.dtype = jnp.float32
+    prng_dropout: bool = False
 
     @nn.compact
     def __call__(self, x, mask_bias, train: bool):
@@ -117,7 +121,8 @@ class FastformerLayer(nn.Module):
         att = FastSelfAttention(self.num_heads, self.head_dim, dtype=self.dtype)(
             x, mask_bias
         )
-        att = _SelfOutput(d, self.dropout, dtype=self.dtype, name="att_out")(
+        att = _SelfOutput(d, self.dropout, dtype=self.dtype, name="att_out",
+                          prng_dropout=self.prng_dropout)(
             att, x, train
         )
         inter = nn.gelu(
@@ -125,7 +130,8 @@ class FastformerLayer(nn.Module):
                      dtype=self.dtype)(att),
             approximate=False,  # BertIntermediate uses exact erf gelu
         )
-        return _SelfOutput(d, self.dropout, dtype=self.dtype, name="ffn_out")(
+        return _SelfOutput(d, self.dropout, dtype=self.dtype, name="ffn_out",
+                           prng_dropout=self.prng_dropout)(
             inter, att, train
         )
 
@@ -142,6 +148,9 @@ class Fastformer(nn.Module):
     word_emb_dim: Optional[int] = None
     word_emb_init: Optional[Callable] = None
     dtype: jnp.dtype = jnp.float32
+    # seed-recompute PRNG dropout kernel (layers.PrngDropout; see
+    # docs/performance.md — measured +11% for NAML/LSTUR at bs4096)
+    prng_dropout: bool = False
 
     def setup(self):
         hp = self.hparams
@@ -158,7 +167,8 @@ class Fastformer(nn.Module):
             name="position_embedding",
         )
         self.emb_norm = nn.LayerNorm(epsilon=1e-12)
-        self.emb_drop = nn.Dropout(hp.dropout)
+        self.emb_drop = (PrngDropout(hp.dropout) if self.prng_dropout
+                         else nn.Dropout(hp.dropout))
         head_dim = hp.embedding_dim // hp.n_heads
         if head_dim * hp.n_heads != hp.embedding_dim:
             raise ValueError(
@@ -166,7 +176,8 @@ class Fastformer(nn.Module):
             )
         self.layers = [
             FastformerLayer(hp.n_heads, head_dim, hp.intermediate_dim, hp.dropout,
-                            dtype=self.dtype, name=f"layer_{i}")
+                            dtype=self.dtype, name=f"layer_{i}",
+                            prng_dropout=self.prng_dropout)
             for i in range(hp.n_layers)
         ]
         self.token_pool = AdditiveAttention(hp.embedding_dim, dtype=self.dtype,

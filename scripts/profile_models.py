@@ -104,7 +104,8 @@ def build(name):
         return NAML(mcfg.HParamsNAML(**dp), **common, remat_encoder=PM_REMAT,
                     prng_dropout=PM_PRNGDROP)
     if name == "fastformer":
-        return Fastformer(mcfg.HParamsFastformer(**dp), **common)
+        return Fastformer(mcfg.HParamsFastformer(**dp), **common,
+                          prng_dropout=PM_PRNGDROP)
     if name == "nrms_docvec":
         # reproduction config (reference nrms_docvec.py:99-137): 768-d
         # frozen document vectors, 16x16 heads, dense [512]*3 + BN —
