@@ -157,21 +157,21 @@ def main() -> None:
     from ebnerd_tpu.models.newsrec import NRMS
     from ebnerd_tpu.training.trainer import Trainer, TrainerConfig
 
-    # batch-size scaling re-measured r4 with dedup (30 steps, stock env):
-    # bs1024 14,092 imp/s (72.7 ms) / bs2048 19,933 (102.7) / bs4096
-    # 26,160 (156.6) / bs8192 41,973 (195.2 with the n_valid skip; 9.1%
-    # unique — the count saturates toward the 25k catalogue, the regime
-    # REAL traffic occupies: the reference's vendored behaviors fixture
-    # measures 5.4% unique at bs1024, BASELINE.md anchor). The dedup
-    # fraction improves with batch, so scaling is super-linear.
-    # Default 8192 (r5): the training recipe at this batch is pinned by
-    # on-chip parity runs — sqrt-scaled LR (1e-4 * sqrt(bs/64)) reaches
-    # reference accuracy at bs8192 on the synthetic topic-signal split
-    # (PARITY_TRAIN.json nrms_fused_bf16_bs8192, seeds 42/7: 0.8976 /
-    # 0.8999 vs reference; plain lr does NOT converge — see
-    # docs/performance.md "Large-batch recipe"). r3 per-slot history:
-    # bs512 4,014 / bs1024 4,484 / bs2048 4,425.
-    bs = int(os.environ.get("BENCH_BS", "8192"))
+    # batch-size scaling (stock env, two agreeing runs each): bs1024
+    # 14,092 imp/s / bs2048 19,933 / bs4096 27,707 / bs8192 41,973 /
+    # bs16384 61,793 (265 ms; 5.5% unique — the same duplicate rate the
+    # reference's REAL vendored behaviors fixture measures, 5.4% at
+    # bs1024, BASELINE.md anchor). The dedup fraction improves with
+    # batch, so scaling is super-linear toward the catalogue-saturated
+    # regime real traffic occupies at any batch size.
+    # Default 16384 (r5): the training recipe at every default candidate
+    # is pinned by on-chip parity runs — sqrt-scaled LR
+    # (1e-4 * sqrt(bs/64)) reaches reference accuracy at bs1024 through
+    # bs16384 on the synthetic topic-signal split (PARITY_TRAIN.json
+    # nrms_fused_bf16_bs16384: 0.8977/0.9007 vs reference 0.8972; plain
+    # lr does NOT converge — docs/performance.md "Large-batch recipe").
+    # r3 per-slot history: bs512 4,014 / bs1024 4,484 / bs2048 4,425.
+    bs = int(os.environ.get("BENCH_BS", "16384"))
     steps = int(os.environ.get("BENCH_STEPS", "30"))
     warmup = int(os.environ.get("BENCH_WARMUP", "5"))
     # bf16 compute (fp32 params) is the TPU-native default; measured AUC

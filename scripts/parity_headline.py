@@ -296,7 +296,9 @@ def run_verdict() -> None:
     ref = data["headline_reference"]["val_auc"]
     for name in sorted(k for k in data if k.startswith("nrms_fused_bf16_")):
         entry = data[name]
-        seeds = sorted(k for k in entry if k.startswith("seed"))
+        # seed run keys only (a prior verdict adds a float "seed_spread")
+        seeds = sorted(k for k in entry
+                       if k.startswith("seed") and isinstance(entry[k], dict))
         if not seeds:
             continue
         finals = [entry[s]["val_auc"][-1] for s in seeds]

@@ -293,6 +293,37 @@ def test_dedup_under_mesh_matches_single_device():
     np.testing.assert_allclose(emb_1, emb_m, rtol=1e-5, atol=1e-6)
 
 
+def test_weighted_bn_dedup_under_mesh_matches_single_device():
+    """Slot-count-weighted BN + dedup under a 4-device dp mesh == the
+    single-device dedup step (GSPMD reductions are global, so the
+    weighted moments see the whole batch — layers.WeightedBatchNorm)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    _, model, builder, _ = list(_models())[1]  # NRMSDocVec
+    tables = _tables(np.random.default_rng(41))
+    raw = _batch(np.random.default_rng(42))
+
+    def one(mesh):
+        cfg = TrainerConfig(learning_rate=1e-2, seed=0, dedup_articles=True,
+                            early_stopping_patience=None, lr_patience=None)
+        t = Trainer(model, tables, builder, cfg, mesh=mesh,
+                    log_fn=lambda s: None)
+        t.init_state(dict(raw))
+        r = prep_dedup_batch(dict(raw), 8)
+        key = jax.random.key(0, impl=cfg.rng_impl)
+        t.state, loss = t._train_step(t.state, t._put(r), key)
+        return float(loss), t.state
+
+    loss_1, st_1 = one(None)
+    mesh = make_mesh(data=4, model=1, devices=jax.devices()[:4])
+    loss_m, st_m = one(mesh)
+    assert np.isclose(loss_1, loss_m, rtol=1e-5)
+    flat_m = dict(jax.tree_util.tree_leaves_with_path(st_m.batch_stats))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(st_1.batch_stats):
+        np.testing.assert_allclose(np.asarray(leaf), np.asarray(flat_m[path]),
+                                   rtol=1e-5, atol=1e-6, err_msg=str(path))
+
+
 @pytest.mark.parametrize("name,model,builder,with_user",
                          [m for m in _models()],
                          ids=[m[0] for m in _models()])
