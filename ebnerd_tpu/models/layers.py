@@ -255,24 +255,36 @@ class PersonalizedAttentivePooling(nn.Module):
     # framework ([B*(H+K), T, F])
     prng_dropout: bool = False
 
-    @nn.compact
+    def setup(self):
+        self.att_proj = nn.Dense(self.attention_dim, kernel_init=glorot(),
+                                 bias_init=zeros, dtype=self.dtype,
+                                 name="att_proj")
+        self.value_drop = (PrngDropout(self.dropout) if self.prng_dropout
+                           else nn.Dropout(self.dropout))
+
+    def drop_values(self, values: jnp.ndarray, train: bool) -> jnp.ndarray:
+        """The reference applies dropout to the VALUES before projecting
+        and pooling (layers.py:314-339)."""
+        return self.value_drop(values, deterministic=not train)
+
+    def project(self, values_dropped: jnp.ndarray) -> jnp.ndarray:
+        """tanh(Dense(values)) [..., L, A] — per-position, so it commutes
+        with slot gathers: NPA's dedup path computes it once per UNIQUE
+        article and gathers the result (models/newsrec.py)."""
+        return jnp.tanh(self.att_proj(values_dropped))
+
+    def pool(self, values_dropped: jnp.ndarray, proj: jnp.ndarray,
+             query: jnp.ndarray) -> jnp.ndarray:
+        att = jnp.einsum("...ld,...d->...l", proj, query.astype(proj.dtype))
+        weight = jax.nn.softmax(att, axis=-1)
+        return jnp.sum(values_dropped * weight[..., None].astype(
+            values_dropped.dtype), axis=-2)
+
     def __call__(
         self, values: jnp.ndarray, query: jnp.ndarray, train: bool = False
     ) -> jnp.ndarray:
-        drop = (PrngDropout(self.dropout) if self.prng_dropout
-                else nn.Dropout(self.dropout))
-        values = drop(values, deterministic=not train)
-        proj = nn.Dense(
-            self.attention_dim,
-            kernel_init=glorot(),
-            bias_init=zeros,
-            dtype=self.dtype,
-            name="att_proj",
-        )(values)
-        proj = jnp.tanh(proj)
-        att = jnp.einsum("...ld,...d->...l", proj, query.astype(proj.dtype))
-        weight = jax.nn.softmax(att, axis=-1)
-        return jnp.sum(values * weight[..., None].astype(values.dtype), axis=-2)
+        vd = self.drop_values(values, train)
+        return self.pool(vd, self.project(vd), query)
 
 
 class ConvEncoder(nn.Module):

@@ -534,24 +534,36 @@ class NPA(nn.Module):
         u_emb = self.user_embedding(batch["user_id"]).astype(self.dtype)  # [B, U]
         if "uniq_tokens" in batch:
             # PARTIAL dedup (training/dedup.py): only the word-level
-            # personalized pooling depends on the user; the embedding ->
-            # conv prefix (the FLOP-heavy ~94% of the encoder) is
-            # user-independent and runs ONCE per unique article. The
-            # conv activations are gathered back to slots and pooled
-            # per (impression, slot) with that impression's user query —
-            # identical math to the per-slot path in eval mode.
+            # personalized ATTENTION depends on the user. The
+            # user-independent parts run ONCE per unique article: the
+            # embedding -> conv prefix (~94% of the encoder FLOPs), the
+            # pooling's value dropout (one mask per unique article —
+            # the same shared-mask dedup deviation the conv-prefix
+            # dropouts already carry, pinned by PARITY_TRAIN), and the
+            # per-position tanh projection (linear per token position,
+            # so it commutes with the slot gather — exact math). Only
+            # the query dot + softmax + weighted sum run per slot.
+            # r5 measured: moving dropout+projection to the unique axis
+            # removes the framework's largest dropout mask
+            # ([B*(H+K), T, F]) and 7.4x of the projection FLOPs.
             x = _maybe_remat(self, type(self).conv_prefix,
                              self.remat_encoder, 1)(
                 batch["uniq_tokens"], train)                 # [C, T, F]
-            hist_y = x[batch["hist_slot"]]                   # [B, H, T, F]
-            cand_y = x[batch["cand_slot"]]                   # [B, K, T, F]
+            xd = self.word_pool.drop_values(x, train)
+            proj = self.word_pool.project(xd)                # [C, T, A]
+            hist_y = xd[batch["hist_slot"]]                  # [B, H, T, F]
+            cand_y = xd[batch["cand_slot"]]                  # [B, K, T, F]
             (b, h), k = hist_y.shape[:2], cand_y.shape[1]
             both_y = jnp.concatenate(
                 [hist_y.reshape(b * h, *hist_y.shape[2:]),
                  cand_y.reshape(b * k, *cand_y.shape[2:])])
+            both_p = jnp.concatenate(
+                [proj[batch["hist_slot"]].reshape(b * h, *proj.shape[1:]),
+                 proj[batch["cand_slot"]].reshape(b * k, *proj.shape[1:])])
             both_u = jnp.concatenate(
                 [jnp.repeat(u_emb, h, axis=0), jnp.repeat(u_emb, k, axis=0)])
-            vecs = self.word_pool(both_y, self.word_query(both_u), train)
+            vecs = self.word_pool.pool(both_y, both_p,
+                                       self.word_query(both_u))
         else:
             hist, (b, h) = _flatten_articles(batch["hist_tokens"])
             cand, (_, k) = _flatten_articles(batch["cand_tokens"])
